@@ -1,0 +1,176 @@
+"""Equirectangular environment-map lighting: lookup, CDF importance sampling.
+
+Completes the reference's torch-side sampler (myutils/envmap_utils.py, which
+is imported by the inverse driver but unused at runtime because Mitsuba's
+emitter did the sampling — SURVEY.md §2.5). Here it *is* the light sampler
+for NEE/MIS in the G-buffer path tracer.
+
+Direction convention (matches envmap_utils.py:29-36 and Mitsuba's equirect
+emitter): u = frac(atan2(d.x, -d.z) / 2π) * W,  v = (acos(d.y)/π) * H, so
+    dir(θ, φ) = (sinθ·sinφ, cosθ, -sinθ·cosφ),  φ = 2π u/W,  θ = π v/H.
+
+Note: the reference's ``build_envmap`` computes the marginal row weights as
+the sum of the *cumulative* conditional (envmap_utils.py:54), which skews
+the marginal toward early columns; since that code never ran in production,
+we build the correct marginal (row weight = row total of lum·sinθ).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from materialist_tpu.ops.color import luminance
+
+PI = math.pi
+
+
+class EnvmapSampler(NamedTuple):
+    envmap: jnp.ndarray  # (H, W, 3) linear radiance
+    c_cdf: jnp.ndarray   # (H, W) conditional CDF along width (normalized)
+    m_cdf: jnp.ndarray   # (H,)  marginal CDF over rows (normalized)
+    c_pdf: jnp.ndarray   # (H, W) per-texel conditional prob mass
+    m_pdf: jnp.ndarray   # (H,)  per-row marginal prob mass
+
+
+def dir_to_uv(d, height: int, width: int):
+    """Direction (..., 3) → continuous texel coords (u, v)."""
+    phi = jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * PI)
+    u = (phi - jnp.floor(phi)) * width
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    v = theta / PI * height
+    return u, v
+
+
+def uv_to_dir(u, v, height: int, width: int):
+    """Continuous texel coords → unit direction."""
+    phi = 2.0 * PI * u / width
+    theta = PI * v / height
+    st = jnp.sin(theta)
+    return jnp.stack([st * jnp.sin(phi), jnp.cos(theta), -st * jnp.cos(phi)],
+                     axis=-1)
+
+
+def lookup_nearest(envmap, d):
+    """Nearest-texel radiance fetch (envmap_utils.py:29-36 semantics)."""
+    h, w = envmap.shape[0], envmap.shape[1]
+    u, v = dir_to_uv(d, h, w)
+    ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    return envmap[vi, ui]
+
+
+def lookup_bilinear(envmap, d):
+    """Bilinear radiance fetch with φ-wrap / θ-clamp (Mitsuba emitter eval).
+
+    For a 16×32 map this is formulated as four gathers; XLA fuses the lerp.
+    """
+    h, w = envmap.shape[0], envmap.shape[1]
+    u, v = dir_to_uv(d, h, w)
+    uf = u - 0.5
+    vf = v - 0.5
+    u0 = jnp.floor(uf)
+    v0 = jnp.floor(vf)
+    du = (uf - u0)[..., None]
+    dv = (vf - v0)[..., None]
+    u0i = jnp.mod(u0.astype(jnp.int32), w)
+    u1i = jnp.mod(u0i + 1, w)
+    v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
+    v1i = jnp.clip(v0i + 1, 0, h - 1)
+    c00 = envmap[v0i, u0i]
+    c01 = envmap[v0i, u1i]
+    c10 = envmap[v1i, u0i]
+    c11 = envmap[v1i, u1i]
+    top = c00 * (1.0 - du) + c01 * du
+    bot = c10 * (1.0 - du) + c11 * du
+    return top * (1.0 - dv) + bot * dv
+
+
+def build_sampler(envmap) -> EnvmapSampler:
+    """Build sin-weighted luminance CDFs (role of envmap_utils.py:43-66)."""
+    h, w = envmap.shape[0], envmap.shape[1]
+    rows01 = (jnp.arange(h, dtype=envmap.dtype) + 0.5) / h
+    sin_theta = jnp.sin(PI * rows01)[:, None]
+    lum_sin = luminance(envmap) * sin_theta + 1e-12
+
+    c_sum = jnp.cumsum(lum_sin, axis=1)
+    row_tot = c_sum[:, -1:]
+    c_cdf = c_sum / row_tot
+    c_pdf = lum_sin / row_tot
+
+    m_sum = jnp.cumsum(row_tot[:, 0], axis=0)
+    total = m_sum[-1]
+    m_cdf = m_sum / total
+    m_pdf = row_tot[:, 0] / total
+    return EnvmapSampler(envmap, c_cdf, m_cdf, c_pdf, m_pdf)
+
+
+def _interp_cdf(cdf_val_at, cdf_val_prev, x):
+    """Fractional position of x within a CDF bin (envmap_utils.py:92-107)."""
+    denom = jnp.maximum(cdf_val_at - cdf_val_prev, 1e-12)
+    return jnp.clip((x - cdf_val_prev) / denom, 0.0, 1.0)
+
+
+def sample(sampler: EnvmapSampler, u2):
+    """Inverse-CDF envmap sample (envmap_utils.py:139-169, corrected dirs).
+
+    Args:
+        sampler: EnvmapSampler.
+        u2: (..., 2) uniforms.
+    Returns:
+        wi: (..., 3) direction; pdf: (..., 1) solid-angle density;
+        radiance: (..., 3) bilinear emitter radiance along wi.
+    """
+    env, c_cdf, m_cdf, c_pdf, m_pdf = sampler
+    h, w = env.shape[0], env.shape[1]
+    x0, x1 = u2[..., 0], u2[..., 1]
+
+    v_idx = jnp.clip(jnp.searchsorted(m_cdf, x0), 0, h - 1)
+    prev_m = jnp.where(v_idx > 0, m_cdf[jnp.maximum(v_idx - 1, 0)], 0.0)
+    dv = _interp_cdf(m_cdf[v_idx], prev_m, x0)
+    pdf_m = m_pdf[v_idx]
+    v = v_idx.astype(env.dtype) + dv
+
+    row_cdf = c_cdf[v_idx]  # (..., W) gather of rows
+    u_idx = jnp.clip(
+        jnp.sum((row_cdf < x1[..., None]).astype(jnp.int32), axis=-1),
+        0, w - 1)
+    prev_c = jnp.where(
+        u_idx > 0,
+        jnp.take_along_axis(row_cdf, jnp.maximum(u_idx - 1, 0)[..., None],
+                            axis=-1)[..., 0],
+        0.0)
+    at_c = jnp.take_along_axis(row_cdf, u_idx[..., None], axis=-1)[..., 0]
+    du = _interp_cdf(at_c, prev_c, x1)
+    pdf_c = c_pdf[v_idx, u_idx]
+    u = u_idx.astype(env.dtype) + du
+
+    theta = v * PI / h
+    wi = uv_to_dir(u, v, h, w)
+    sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf = (h * w) * (pdf_c * pdf_m) / (2.0 * PI * PI * sin_theta)
+    radiance = lookup_bilinear(env, wi)
+    return wi, pdf[..., None], radiance
+
+
+def pdf_dir(sampler: EnvmapSampler, d):
+    """Density of ``sample`` at an arbitrary direction (for MIS weights)."""
+    env = sampler.envmap
+    h, w = env.shape[0], env.shape[1]
+    u, v = dir_to_uv(d, h, w)
+    ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+    vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
+    pdf = (h * w) * (sampler.c_pdf[vi, ui] * sampler.m_pdf[vi]) / (
+        2.0 * PI * PI * sin_theta)
+    return pdf[..., None]
+
+
+def rotate(envmap, angle_degrees: float):
+    """Roll the envmap columns (render_final.py:290-298 rolling relight)."""
+    w = envmap.shape[1]
+    shift = int(round(angle_degrees / 360.0 * w))
+    return jnp.roll(envmap, shift, axis=1)

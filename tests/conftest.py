@@ -1,0 +1,36 @@
+"""Test harness: force JAX onto 8 virtual CPU devices (no TPU needed in CI).
+
+The container's sitecustomize pre-registers a TPU backend and pins
+JAX_PLATFORMS=axon, so plain env vars are not enough: override the platform
+through jax.config *before any backend is initialized* (backends initialize
+lazily, so doing it at conftest import time is safe).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def reference_dir():
+    if not os.path.isdir(REFERENCE_DIR):
+        pytest.skip("reference fixtures not available")
+    return REFERENCE_DIR
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
