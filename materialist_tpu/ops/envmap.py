@@ -18,6 +18,8 @@ we build the correct marginal (row weight = row total of lum·sinθ).
 from __future__ import annotations
 
 import math
+
+import jax
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -148,9 +150,15 @@ def sample(sampler: EnvmapSampler, u2):
     u = u_idx.astype(env.dtype) + du
 
     theta = v * PI / h
-    wi = uv_to_dir(u, v, h, w)
+    # The sampled direction (and pdf) are estimator *decisions*: detach them
+    # so radiance gradients flow into the envmap values only, never back
+    # through the CDF inversion (whose interpolation divisions are not
+    # safely differentiable). Detached-sampling semantics, like the
+    # reference's D.data pdf (mi_plugin.py:366).
+    wi = jax.lax.stop_gradient(uv_to_dir(u, v, h, w))
     sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
-    pdf = (h * w) * (pdf_c * pdf_m) / (2.0 * PI * PI * sin_theta)
+    pdf = jax.lax.stop_gradient(
+        (h * w) * (pdf_c * pdf_m) / (2.0 * PI * PI * sin_theta))
     radiance = lookup_bilinear(env, wi)
     return wi, pdf[..., None], radiance
 

@@ -1,0 +1,144 @@
+"""Screen-space ray marching against the depth heightfield.
+
+This is the TPU-native replacement for Mitsuba's mesh ray tracing: because
+the scene geometry is exactly the depth-derived heightfield (the reference's
+mesh is a function of the depth map, SURVEY.md §7), secondary visibility can
+be resolved by marching rays in the depth buffer — an O(K)-gather loop with
+static shapes that jits cleanly, instead of a BVH.
+
+All marching runs under stop_gradient in the shader: geometry is fixed
+during material/envmap optimization (only shape.bsdf.{a,r,m,n} and
+emitter.data are Differentiable in the reference, mi_plugin.py:1464-1469),
+so no backward memory is spent on the K marching steps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from materialist_tpu.camera import Camera
+
+
+class Hit(NamedTuple):
+    hit: jnp.ndarray      # (...,) bool
+    idx: jnp.ndarray      # (...,) int32 flat pixel index of the hit
+    t: jnp.ndarray        # (...,) ray parameter at the hit
+    exited: jnp.ndarray   # (...,) ray left the view frustum (envmap miss)
+
+
+def _sample_heightfield(dist_flat, valid_flat, cam: Camera, q):
+    """Depth-buffer fetch at the projection of world points q (..., 3).
+
+    Returns (surface_dist, pixel_idx, inside_screen).
+    """
+    uv = cam.project(q)
+    u = uv[..., 0]
+    v = uv[..., 1]
+    # gather index = floor(u) + floor(v)*W (mi_plugin.py:1378-1381)
+    ui = jnp.floor(u + 0.5).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+    inside = (ui >= 0) & (ui < cam.width) & (vi >= 0) & (vi < cam.height)
+    idx = jnp.clip(vi, 0, cam.height - 1) * cam.width + jnp.clip(
+        ui, 0, cam.width - 1)
+    d = dist_flat[idx]
+    ok = inside & valid_flat[idx]
+    return d, idx, ok
+
+
+def march(cam: Camera, dist_map, valid_map, origin, direction,
+          n_steps: int = 24, n_refine: int = 5, t_min_frac: float = 2e-3,
+          t_max_frac: float = 3.0, bias_frac: float = 4e-3,
+          interval_frac: float = 0.35) -> Hit:
+    """March rays from surface points through the depth heightfield.
+
+    Args:
+        cam: camera (screen projection).
+        dist_map: (H, W) per-pixel -z distance of the geometry.
+        valid_map: (H, W) bool geometry mask.
+        origin: (..., 3) world-space ray origins (on the surface).
+        direction: (..., 3) unit world-space directions.
+        n_steps: fixed number of exponential marching steps (static).
+        n_refine: bisection steps after the first crossing (static).
+        t_min_frac/t_max_frac: march interval as a fraction of the scene
+            scale (max distance) — scale-free so arbitrary depth units work.
+        bias_frac: surface-acne bias as a fraction of local distance.
+        interval_frac: a crossing counts as a hit only if the ray's depth
+            excess at first detection is below this fraction of the local
+            distance (thickness heuristic for depth discontinuities — the
+            reference's mesh has open boundaries at occlusion edges,
+            mesh_recon.py:126-175, which rays pass through).
+    Returns: Hit pytree (all under the caller's stop_gradient).
+    """
+    scene_scale = jnp.maximum(jnp.max(dist_map), 1e-6)
+    t_lo = t_min_frac * scene_scale
+    t_hi = t_max_frac * scene_scale
+    ratio = (t_hi / t_lo) ** (1.0 / max(n_steps - 1, 1))
+
+    dist_flat = dist_map.reshape(-1)
+    valid_flat = valid_map.reshape(-1)
+
+    batch_shape = origin.shape[:-1]
+    f32 = dict(dtype=jnp.float32)
+
+    def ray_excess(t):
+        """positive ⇒ ray point is behind the surface at its pixel."""
+        q = origin + t[..., None] * direction
+        ray_d = -q[..., 2]
+        surf_d, idx, ok = _sample_heightfield(dist_flat, valid_flat, cam, q)
+        bias = bias_frac * surf_d
+        return jnp.where(ok, ray_d - surf_d - bias, -jnp.inf), idx, ok, ray_d
+
+    def body(i, carry):
+        found, t_prev, t_at, excess_at, exited_all = carry
+        t = t_lo * ratio ** i.astype(jnp.float32)
+        excess, _, ok, ray_d = ray_excess(t)
+        behind_cam = ray_d <= 0.0
+        exited_now = (~ok) | behind_cam
+        crossing = (excess > 0.0) & ~found & ~exited_all
+        t_at = jnp.where(crossing, t, t_at)
+        excess_at = jnp.where(crossing, excess, excess_at)
+        found = found | crossing
+        exited_all = exited_all | (exited_now & ~found)
+        t_prev = jnp.where(found | exited_all, t_prev, t)
+        return found, t_prev, t_at, excess_at, exited_all
+
+    found0 = jnp.zeros(batch_shape, bool)
+    carry = (found0, jnp.full(batch_shape, t_lo, **f32),
+             jnp.zeros(batch_shape, **f32),
+             jnp.full(batch_shape, -jnp.inf, **f32),
+             jnp.zeros(batch_shape, bool))
+    found, t_before, t_cross, excess_cross, exited = jax.lax.fori_loop(
+        0, n_steps, body, carry)
+
+    # Bisection refine within [t_before, t_cross].
+    lo = t_before
+    hi = jnp.where(found, t_cross, t_before)
+
+    def refine(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        excess, _, ok, _ = ray_excess(mid)
+        behind = (excess > 0.0) & ok
+        return jnp.where(behind, lo, mid), jnp.where(behind, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, n_refine, refine, (lo, hi))
+    t_hit = jnp.where(found, hi, t_cross)
+
+    excess_hit, idx_hit, ok_hit, _ = ray_excess(t_hit)
+    # thickness heuristic: reject crossings that jump far behind the surface
+    q = origin + t_hit[..., None] * direction
+    local = jnp.maximum(-q[..., 2], 1e-6)
+    thin = excess_cross < interval_frac * local
+    hit = found & thin & ok_hit
+    return Hit(hit=hit, idx=idx_hit, t=t_hit, exited=exited | ~hit)
+
+
+def occluded(cam: Camera, dist_map, valid_map, origin, direction,
+             n_steps: int = 16, **kw) -> jnp.ndarray:
+    """Boolean shadow query for NEE rays (march without refinement)."""
+    h = march(cam, dist_map, valid_map, origin, direction,
+              n_steps=n_steps, n_refine=0, **kw)
+    return h.hit

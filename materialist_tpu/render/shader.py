@@ -1,0 +1,168 @@
+"""Differentiable Monte-Carlo G-buffer path tracer.
+
+The TPU-native replacement for Mitsuba's `path` integrator + MatDiffBSDF +
+envmap emitter + Dr.Jit AD (reference call stack SURVEY.md §3.2):
+
+* primary visibility = the pixel grid (camera fixed, geometry = depth map);
+* per-vertex BSDF = Disney-diffuse + GGX-metal with 50/50 lobe sampling
+  (ops/brdf.py, matching mi_plugin.py:1296-1427 semantics);
+* direct light = balance-heuristic MIS between BSDF samples and envmap
+  CDF importance samples (NEE), like Mitsuba's path integrator;
+* ≥2nd bounces = screen-space marching (render/screenspace.py), envmap on
+  miss; max_depth=4 ⇒ 3 statically-unrolled scattering events;
+* the sample (spp) axis is scanned in chunks with jax.checkpoint so the
+  backward pass re-materializes one chunk at a time — the whole
+  render-forward + adjoint fits in HBM at 512²×64spp and beyond.
+
+Gradient semantics: sampling decisions, pdfs, MIS weights and all geometry
+queries are stop_gradient'ed (detached-sampling estimator; the reference
+detaches the NDF inside its pdf, mi_plugin.py:366, and Mitsuba's attached
+quantities are likewise the BSDF values and emitter radiance only).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from materialist_tpu.camera import Camera
+from materialist_tpu.ops import brdf, envmap as em
+from materialist_tpu.render.scene import GBuffer, Materials
+from materialist_tpu.render import screenspace as ss
+
+
+class RenderConfig(NamedTuple):
+    """Static render parameters (hashable ⇒ usable as a jit static arg)."""
+    spp: int = 64
+    chunk: int = 8           # samples per scanned chunk
+    max_depth: int = 4       # path segments, Mitsuba convention
+    use_mesh_normal: bool = True
+    march_steps: int = 24
+    shadow_steps: int = 16
+    nee: bool = True          # envmap NEE + MIS (Mitsuba path behavior)
+    sky_background: bool = True  # invalid pixels show the envmap
+
+
+def _gather(img_flat, idx):
+    """Flat gather: img (N, C), idx (...,) → (..., C)."""
+    return img_flat[idx]
+
+
+def _shading_normal(cfg, mats_n_flat, geo_n_flat, idx):
+    if cfg.use_mesh_normal:
+        return _gather(geo_n_flat, idx)
+    n = _gather(mats_n_flat, idx)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+
+def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                 mats: Materials, envmap):
+    """Trace cfg.chunk samples for every pixel. Returns (H, W, 3) mean."""
+    h, w = gbuf.dist.shape
+    n = h * w
+    s = cfg.chunk
+
+    env_sampler = em.build_sampler(envmap)
+    a_flat = mats.albedo.reshape(n, 3)
+    r_flat = mats.roughness.reshape(n, 1)
+    m_flat = mats.metallic.reshape(n, 1)
+    n_flat = mats.normal.reshape(n, 3)
+    geo_flat = gbuf.normal_geo.reshape(n, 3)
+    pos_flat = gbuf.position.reshape(n, 3)
+
+    sg = jax.lax.stop_gradient
+
+    # path state, (s, n, ...)
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
+    pos = jnp.broadcast_to(pos_flat, (s, n, 3))
+    wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
+    alive = jnp.broadcast_to(gbuf.valid.reshape(n), (s, n))
+    throughput = jnp.ones((s, n, 3), jnp.float32)
+    radiance = jnp.zeros((s, n, 3), jnp.float32)
+
+    if cfg.sky_background:
+        view_dir = -gbuf.wo.reshape(n, 3)
+        sky = em.lookup_bilinear(envmap, view_dir)
+        radiance = radiance + jnp.where(
+            gbuf.valid.reshape(1, n, 1), 0.0, sky[None])
+
+    dist_map = sg(gbuf.dist)
+    valid_map = gbuf.valid
+
+    for b in range(cfg.max_depth - 1):
+        kb = jax.random.fold_in(key, b)
+        k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
+
+        alb = _gather(a_flat, idx)
+        rough = _gather(r_flat, idx)
+        metal = _gather(m_flat, idx)
+        nrm = _shading_normal(cfg, n_flat, geo_flat, idx)
+
+        # ---- NEE: envmap importance sample + shadow march + MIS
+        if cfg.nee:
+            u_nee = jax.random.uniform(k_nee, (s, n, 2))
+            wi_e, pdf_e, le = em.sample(env_sampler, u_nee)
+            wi_e, pdf_e = sg(wi_e), sg(pdf_e)
+            f_e, pdf_b_at_e = brdf.eval_brdf(wi_e, wo, nrm, alb, rough, metal)
+            w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
+            shadowed = ss.occluded(cam, dist_map, valid_map, sg(pos), wi_e,
+                                   n_steps=cfg.shadow_steps)
+            contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
+            gate = (alive & ~shadowed)[..., None]
+            radiance = radiance + jnp.where(gate, contrib, 0.0)
+
+        # ---- BSDF sampling: continue the path / hit the envmap
+        u1 = jax.random.uniform(k_lobe, (s, n, 1))
+        u2 = jax.random.uniform(k_uv, (s, n, 2))
+        wi, pdf_b, weight = brdf.sample_brdf(u1[..., 0], u2, wo, nrm,
+                                             alb, rough, metal)
+        wi = sg(wi)
+        hit = jax.tree.map(sg, ss.march(cam, dist_map, valid_map, sg(pos),
+                                        wi, n_steps=cfg.march_steps))
+
+        le_miss = em.lookup_bilinear(envmap, wi)
+        if cfg.nee:
+            pdf_e_at_wi = sg(em.pdf_dir(env_sampler, wi))
+            w_mis_b = pdf_b / (pdf_b + pdf_e_at_wi + 1e-9)
+        else:
+            w_mis_b = 1.0
+        miss_gate = (alive & ~hit.hit)[..., None]
+        radiance = radiance + jnp.where(
+            miss_gate, throughput * weight * w_mis_b * le_miss, 0.0)
+
+        # advance the path (snap to the hit pixel's G-buffer position)
+        throughput = throughput * weight
+        alive = alive & hit.hit
+        idx = hit.idx
+        pos = _gather(pos_flat, idx)
+        wo = -wi
+
+    img = jnp.mean(radiance, axis=0)  # mean over the chunk's samples
+    return jnp.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0).reshape(
+        h, w, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def render(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+           mats: Materials, envmap):
+    """Render the scene: MC estimate with cfg.spp samples per pixel.
+
+    Differentiable w.r.t. ``mats`` and ``envmap`` (the reference's
+    Differentiable params, mi_plugin.py:1464-1469 + emitter.data).
+    """
+    n_chunks = max(cfg.spp // cfg.chunk, 1)
+    keys = jax.random.split(key, n_chunks)
+
+    body = jax.checkpoint(
+        lambda k: _trace_chunk(k, cfg, cam, gbuf, mats, envmap))
+
+    def scan_fn(acc, k):
+        return acc + body(k), None
+
+    h, w = gbuf.dist.shape
+    acc0 = jnp.zeros((h, w, 3), jnp.float32)
+    total, _ = jax.lax.scan(scan_fn, acc0, keys)
+    return total / n_chunks
