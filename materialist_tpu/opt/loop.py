@@ -1,0 +1,444 @@
+"""Inverse-optimization driver: alternate envmap and material recovery.
+
+Behavioral rebuild of ``optimize_envmap_ARMN`` (inverse_img_w_mi.py:106-599)
+on the TPU renderer: up to 3 outer loops alternating an envmap phase and a
+material phase, early-stopped at three levels (per-phase patience, global
+patience 2 @ 2.5%), with SaveBest persisting the argmin-MSE state to
+``best_results/`` after every phase.
+
+TPU-first differences from the reference (documented, not accidental):
+* each epoch is ONE jitted step (render fwd + adjoint + optax update) —
+  no torch↔drjit bridge, no host round-trip except the loss scalar;
+* per-epoch PRNG is a folded jax.random key, not np.random seeds
+  (inverse_img_w_mi.py:62);
+* frames are optional (frame_every=0 disables) because device→host image
+  transfers may be expensive; the files written match §2.10 when enabled.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from materialist_tpu import config as gconfig
+from materialist_tpu.camera import Camera
+from materialist_tpu.io import image as image_io
+from materialist_tpu.io import video as video_io
+from materialist_tpu.models import posmlp
+from materialist_tpu.opt.callbacks import EarlyStopping, SaveBest
+from materialist_tpu.opt import schedules
+from materialist_tpu.ops.color import linear_to_srgb
+from materialist_tpu.render.scene import GBuffer, Materials
+from materialist_tpu.render.shader import RenderConfig, render
+
+
+@dataclasses.dataclass
+class InverseOptions:
+    """CLI-level knobs (inverse_img_w_mi.py:771-784 + hardcoded defaults)."""
+    opt_src: str = "a"
+    opt_order: Sequence[str] = ("rm", "a")
+    model_name: str = "pos_mlp"        # pos_mlp | none
+    use_mask: bool = False
+    opt_env_from: int = 0
+    output_type: str = "arm"           # arm | armn
+    use_mesh_normal: bool = True
+    spp: int = gconfig.DEFAULT_SPP
+    num_epochs: int = gconfig.NUM_EPOCHS
+    env_hw: tuple = (gconfig.ENV_H, gconfig.ENV_W)
+    scale_delta: float = 0.1
+    frame_every: int = 10              # 0 disables frame/video output
+    max_loops: int = 3
+    seed: int = 0
+    chunk: int = 8
+    march_steps: int = 24
+    shadow_steps: int = 16
+
+
+def _render_cfg(opts: InverseOptions) -> RenderConfig:
+    return RenderConfig(spp=opts.spp, chunk=min(opts.chunk, opts.spp),
+                        use_mesh_normal=opts.use_mesh_normal,
+                        march_steps=opts.march_steps,
+                        shadow_steps=opts.shadow_steps)
+
+
+def _apply_mask_constraint(r, m, mask):
+    """In-mask roughness/metallic forced to their in-mask means
+    (inverse_img_w_mi.py:379-381,509-511)."""
+    mask3 = mask[..., None]
+    r_mean = jnp.sum(r * mask3) / jnp.maximum(jnp.sum(mask3), 1.0)
+    m_mean = jnp.sum(m * mask3) / jnp.maximum(jnp.sum(mask3), 1.0)
+    return (jnp.where(mask3, r_mean, r), jnp.where(mask3, m_mean, m))
+
+
+def _mats_from_dict(mat) -> Materials:
+    return Materials(mat["albedo"], mat["roughness"], mat["metallic"],
+                     mat["normal"])
+
+
+def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
+             opts: InverseOptions) -> dict:
+    """Run the full alternating optimization; returns the best state dict.
+
+    ``mat``: jnp arrays — albedo (H,W,3), roughness (H,W,1), metallic
+    (H,W,1), normal (H,W,3), gt_image (H,W,3 linear), optional mask (H,W)
+    bool, optional gt_envmap (16,32,3).
+    """
+    os.makedirs(os.path.join(output_dir, "best_results"), exist_ok=True)
+    env_frames_dir = os.path.join(output_dir, "env_frames")
+    mat_frames_dir = os.path.join(output_dir, "mat_frames")
+    os.makedirs(env_frames_dir, exist_ok=True)
+    os.makedirs(mat_frames_dir, exist_ok=True)
+    env_frames, mat_frames = [], []
+
+    cfg = _render_cfg(opts)
+    env_h, env_w = opts.env_hw
+    key = jax.random.PRNGKey(opts.seed)
+
+    gt_image = jnp.asarray(mat["gt_image"])
+    gt_srgb = linear_to_srgb(gt_image)
+
+    # --- roughness/metallic trust shifts (inverse_img_w_mi.py:183-201)
+    r_shift, m_shift = 0.7, 0.05
+    if "r" not in opts.opt_src:
+        mat["roughness"] = mat["roughness"] * 0 + r_shift
+    if "m" not in opts.opt_src:
+        mat["metallic"] = mat["metallic"] * 0 + m_shift
+    albedo_ori = mat["albedo"]
+    roughness_ori = mat["roughness"]
+    metallic_ori = mat["metallic"]
+    normal_ori = mat["normal"] / jnp.maximum(
+        jnp.linalg.norm(mat["normal"], axis=-1, keepdims=True), 1e-9)
+    mat["normal"] = normal_ori
+
+    h, w = gt_image.shape[:2]
+    n = h * w
+    if opts.output_type == "armn":
+        start_arm = jnp.concatenate(
+            [albedo_ori.reshape(n, 3), roughness_ori.reshape(n, 1),
+             metallic_ori.reshape(n, 1), normal_ori.reshape(n, 3)], axis=-1)
+    else:
+        start_arm = jnp.clip(jnp.concatenate(
+            [albedo_ori.reshape(n, 3), roughness_ori.reshape(n, 1),
+             metallic_ori.reshape(n, 1)], axis=-1), 0, 1)
+
+    # --- nets
+    envmap_net = posmlp.make_envmap_net()
+    start_env = jnp.ones((env_h * env_w, 3), jnp.float32)
+    env_params = envmap_net.init(jax.random.PRNGKey(1), start_env)["params"]
+
+    brdf_net = posmlp.make_brdf_net(opts.output_type)
+    brdf_params = brdf_net.init(jax.random.PRNGKey(2), start_arm)["params"]
+
+    saver = SaveBest()
+    early_all = EarlyStopping(patience=2, min_delta=0.025)
+
+    mask = mat.get("mask")
+
+    # ---------------- jitted phase steps (compiled once per phase kind)
+    def env_loss(p, mats: Materials, k):
+        env = envmap_net.apply({"params": p}, start_env).reshape(
+            env_h, env_w, 3)
+        img = render(k, cfg, cam, gbuf, mats, env)
+        pred = linear_to_srgb(img)
+        mse = jnp.mean((pred - gt_srgb) ** 2)
+        l1 = jnp.mean(jnp.abs(pred - gt_srgb))
+        return mse + l1, (mse, env, img)
+
+    def make_env_step(opt):
+        @jax.jit
+        def step(p, opt_state, mats, k):
+            (loss, (mse, env, img)), grads = jax.value_and_grad(
+                env_loss, has_aux=True)(p, mats, k)
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return p, opt_state, loss, mse, env, img
+        return step
+
+    def material_maps_mlp(p):
+        out = brdf_net.apply({"params": p}, start_arm)
+        albedo = jnp.clip(out[..., 0:3], 0, 1).reshape(h, w, 3)
+        rough = jnp.clip(out[..., 3:4] * 0.93 + 0.07, 0, 1).reshape(h, w, 1)
+        metal = jnp.clip(out[..., 4:5], 0, 1).reshape(h, w, 1)
+        if opts.output_type == "armn":
+            nrm = out[..., 5:8]
+            nrm = (nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
+                                                     keepdims=True), 1e-9)
+                   ).reshape(h, w, 3)
+        else:
+            nrm = normal_ori
+        return albedo, rough, metal, nrm
+
+    def mat_loss(maps, part, envmap, k):
+        albedo, rough, metal, nrm = maps
+        if opts.use_mask and mask is not None:
+            rough, metal = _apply_mask_constraint(rough, metal, mask)
+        mats = Materials(albedo, rough, metal, nrm)
+        img = render(k, cfg, cam, gbuf, mats, envmap)
+        ratio = jnp.mean(gt_image) / jnp.maximum(
+            jax.lax.stop_gradient(jnp.mean(img)), 1e-9)
+        pred = linear_to_srgb(img * ratio)
+        mse = jnp.mean((pred - gt_srgb) ** 2)
+        l1 = jnp.mean(jnp.abs(pred - gt_srgb))
+        aux = 0.0
+        if "a" in part:
+            aux += jnp.mean(jnp.abs(albedo - albedo_ori))
+        if "r" in part:
+            aux += jnp.mean(jnp.abs(rough - roughness_ori))
+        if "m" in part:
+            aux += jnp.mean(jnp.abs(metal - metallic_ori))
+        if "n" in part and not opts.use_mesh_normal:
+            aux += jnp.mean(jnp.abs(nrm - normal_ori))
+        scale_ratio = jax.lax.stop_gradient(l1 / jnp.maximum(mse, 1e-12))
+        render_loss = 3.0 * scale_ratio * mse + l1
+        loss = render_loss + aux * opts.scale_delta
+        return loss, (mse, render_loss, aux, mats, pred)
+
+    def make_mlp_step(opt, part):
+        def loss_fn(p, envmap, k):
+            return mat_loss(material_maps_mlp(p), part, envmap, k)
+
+        @jax.jit
+        def step(p, opt_state, envmap, k):
+            (loss, auxes), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, envmap, k)
+            updates, opt_state = opt.update(grads, opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return p, opt_state, loss, auxes
+        return step
+
+    def make_direct_step(opt, part):
+        def clamp_maps(params, cur):
+            albedo = (jnp.clip(params["albedo"], 0, 1)
+                      if "a" in part else cur["albedo"])
+            rough = (jnp.clip(params["roughness"], 0.07, 1)
+                     if "r" in part else cur["roughness"])
+            metal = (jnp.clip(params["metallic"], 0, 1)
+                     if "m" in part else cur["metallic"])
+            if "n" in part and not opts.use_mesh_normal:
+                nr = params["normal"]
+                nrm = nr / jnp.maximum(
+                    jnp.linalg.norm(nr, axis=-1, keepdims=True), 1e-9)
+            else:
+                nrm = cur["normal"]
+            return albedo, rough, metal, nrm
+
+        def loss_fn(params, cur, envmap, k):
+            return mat_loss(clamp_maps(params, cur), part, envmap, k)
+
+        @jax.jit
+        def step(params, opt_state, cur, envmap, k):
+            (loss, auxes), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, cur, envmap, k)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, auxes
+        return step
+
+    # ---------------- frame helpers (host side)
+    def save_env_frame(env_np, pred_srgb_np, loop_num, epoch):
+        image_io.write(os.path.join(output_dir, "env.png"),
+                       np.clip(env_np, 0, 1), linear_input=False)
+        gt_np = np.asarray(gt_srgb)
+        canvas = np.zeros_like(gt_np)
+        dh = min(env_np.shape[0] * 3, canvas.shape[0] // 2)
+        dw = int(dh * env_np.shape[1] / env_np.shape[0])
+        env_big = image_io.resize_bilinear_align_corners(env_np, (dh, dw))
+        y0 = (canvas.shape[0] - dh) // 2
+        x0 = (canvas.shape[1] - dw) // 2
+        canvas[y0:y0 + dh, x0:x0 + dw] = np.clip(env_big, 0, 1)
+        frame = np.concatenate([gt_np, np.clip(pred_srgb_np, 0, 1), canvas],
+                               axis=1)
+        p = os.path.join(env_frames_dir,
+                         f"opt_env_frame_{loop_num}_{epoch:04d}.png")
+        image_io.write(p, frame, linear_input=False)
+        env_frames.append(p)
+        return frame
+
+    def save_mat_frame(mats: Materials, pred_srgb_np, loop_num, part, epoch):
+        tiles = [np.asarray(gt_srgb), np.clip(pred_srgb_np, 0, 1),
+                 np.asarray(mats.albedo),
+                 np.repeat(np.asarray(mats.roughness), 3, -1),
+                 np.repeat(np.asarray(mats.metallic), 3, -1),
+                 np.asarray(mats.normal) * 0.5 + 0.5]
+        row1 = np.concatenate(tiles[:3], axis=1)
+        row2 = np.concatenate(tiles[3:], axis=1)
+        frame = np.clip(np.concatenate([row1, row2], axis=0), 0, 1)
+        p = os.path.join(mat_frames_dir,
+                         f"mat_frame_{loop_num}_{part}_{epoch:04d}.png")
+        image_io.write(p, frame, linear_input=False)
+        mat_frames.append(p)
+
+    # ---------------- outer alternation (inverse_img_w_mi.py:223-599)
+    # The reference iterates `while loop_num <= 10` but breaks after the
+    # 3rd envmap phase (inverse_img_w_mi.py:223,309-310): loop N runs env,
+    # then materials, and the final loop runs env only.
+    loop_num = 0
+    last_env_frame = None
+    final_envmap = None
+    while True:
+        loop_num += 1
+        # ---- envmap phase
+        if loop_num == 1:
+            opt = schedules.adam_steplr(1e-3)
+        else:
+            opt = optax.adam(1e-4)
+        env_step = make_env_step(opt)
+        opt_state = opt.init(env_params)
+        patience = 500 if opts.opt_src == "skip" else 100
+        early = EarlyStopping(patience=patience, min_delta=0.01)
+        mats_now = _mats_from_dict(mat)
+        mse_val = float("nan")
+        for epoch in range(opts.num_epochs):
+            k = jax.random.fold_in(key, loop_num * 1000000 + epoch)
+            env_params, opt_state, loss, mse, env, img = env_step(
+                env_params, opt_state, mats_now, k)
+            mse_val = float(mse)
+            saver.update(mse_val, mat["albedo"], mat["roughness"],
+                         mat["metallic"], mat["normal"], env, img)
+            early(mse_val)
+            if epoch % 50 == 0 or early.early_stop:
+                print(f"[env {loop_num}] epoch {epoch} loss {float(loss):.4f}"
+                      f" mse {mse_val:.4f}", flush=True)
+            if opts.frame_every and (epoch % opts.frame_every == 0
+                                     or early.early_stop):
+                pred_np = np.asarray(linear_to_srgb(img))
+                last_env_frame = save_env_frame(np.asarray(env), pred_np,
+                                                loop_num, epoch)
+            if early.early_stop:
+                print("Early stopping", flush=True)
+                break
+            if loop_num < opts.opt_env_from:
+                break
+            if "rm" not in opts.opt_src and loop_num == 1 \
+                    and opts.opt_src != "skip":
+                break
+
+        final_envmap = saver.best["envmap"]
+        if final_envmap is not None:
+            image_io.write(os.path.join(output_dir, "final_envmap.hdr"),
+                           np.asarray(final_envmap))
+        if last_env_frame is not None:
+            image_io.write(os.path.join(output_dir, "opt_env_img.png"),
+                           last_env_frame, linear_input=False)
+        if loop_num >= opts.opt_env_from:
+            saver.save_results(os.path.join(output_dir, "best_results"))
+        early_all(mse_val)
+        if early_all.early_stop:
+            print("Global early stopping", flush=True)
+            break
+        if loop_num >= opts.max_loops or opts.opt_src == "skip":
+            break
+
+        # ---- material phase
+        if loop_num < opts.opt_env_from and loop_num == 1:
+            if mat.get("gt_envmap") is not None:
+                env4render = jnp.asarray(mat["gt_envmap"])
+                print("use gt envmap for brdf optimization")
+            else:
+                env4render = jnp.ones((env_h, env_w, 3), jnp.float32)
+                print("Use envmap = 1 for brdf optimization")
+        else:
+            env4render = jnp.asarray(final_envmap)
+            print("Use optimized envmap for brdf optimization")
+
+        if loop_num <= 1:
+            if "r" not in opts.opt_src:
+                mat["roughness"] = mat["roughness"] * 0 + r_shift
+            if "m" not in opts.opt_src:
+                mat["metallic"] = mat["metallic"] * 0 + m_shift
+
+        for part in opts.opt_order:
+            if part == "a" and loop_num <= 1:
+                continue
+            patience = max(200 // loop_num, 1)
+            delta = 0.005 if "a" in part else 0.001
+            early = EarlyStopping(patience=patience, min_delta=delta)
+
+            if opts.model_name == "none":
+                opt = schedules.adam_steplr(3e-4, floor=1.5e-4)
+                params = {}
+                if "a" in part:
+                    params["albedo"] = mat["albedo"]
+                if "r" in part:
+                    params["roughness"] = mat["roughness"]
+                if "m" in part:
+                    params["metallic"] = mat["metallic"]
+                if "n" in part and not opts.use_mesh_normal:
+                    params["normal"] = mat["normal"]
+                cur = {k2: mat[k2] for k2 in
+                       ("albedo", "roughness", "metallic", "normal")}
+                step = make_direct_step(opt, part)
+                opt_state = opt.init(params)
+                for epoch in range(opts.num_epochs):
+                    k = jax.random.fold_in(
+                        key, loop_num * 1000000 + 500000 + epoch)
+                    params, opt_state, loss, auxes = step(
+                        params, opt_state, cur, env4render, k)
+                    mse, render_loss, aux, mats_cur, pred = auxes
+                    mse_val = float(mse)
+                    saver.update(mse_val, mats_cur.albedo,
+                                 mats_cur.roughness, mats_cur.metallic,
+                                 mats_cur.normal, env4render, pred)
+                    early(mse_val)
+                    if epoch % 50 == 0 or early.early_stop:
+                        print(f"[mat-direct {loop_num}/{part}] epoch {epoch} "
+                              f"loss {float(loss):.4f} mse {mse_val:.4f}",
+                              flush=True)
+                    if opts.frame_every and (epoch % opts.frame_every == 0
+                                             or early.early_stop):
+                        save_mat_frame(mats_cur, np.asarray(pred), loop_num,
+                                       part, epoch)
+                    if early.early_stop:
+                        print("Early stopping", flush=True)
+                        break
+            else:
+                opt = schedules.adamw_steplr(3e-4, floor=1.5e-4)
+                step = make_mlp_step(opt, part)
+                opt_state = opt.init(brdf_params)
+                for epoch in range(opts.num_epochs):
+                    k = jax.random.fold_in(
+                        key, loop_num * 1000000 + 500000 + epoch)
+                    brdf_params, opt_state, loss, auxes = step(
+                        brdf_params, opt_state, env4render, k)
+                    mse, render_loss, aux, mats_cur, pred = auxes
+                    mse_val = float(mse)
+                    saver.update(mse_val, mats_cur.albedo,
+                                 mats_cur.roughness, mats_cur.metallic,
+                                 mats_cur.normal, env4render, pred,
+                                 net_params=brdf_params)
+                    early(mse_val)
+                    if epoch % 50 == 0 or early.early_stop:
+                        print(f"[mat-mlp {loop_num}/{part}] epoch {epoch} "
+                              f"loss {float(loss):.4f} mse {mse_val:.4f}",
+                              flush=True)
+                    if opts.frame_every and (epoch % opts.frame_every == 0
+                                             or early.early_stop):
+                        save_mat_frame(mats_cur, np.asarray(pred), loop_num,
+                                       part, epoch)
+                    if early.early_stop:
+                        print("Early stopping", flush=True)
+                        break
+
+            # restore best (inverse_img_w_mi.py:460-463,583-588)
+            for k2 in ("albedo", "roughness", "metallic", "normal"):
+                if saver.best[k2] is not None:
+                    mat[k2] = saver.best[k2]
+            saver.save_results(os.path.join(output_dir, "best_results"))
+
+    if env_frames:
+        video_io.write_video(env_frames,
+                             os.path.join(output_dir,
+                                          "env_optimization.mp4"), fps=10)
+    if mat_frames:
+        video_io.write_video(mat_frames,
+                             os.path.join(output_dir,
+                                          "mat_optimization.mp4"), fps=10)
+    return saver.get_best()
