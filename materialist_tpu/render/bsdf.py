@@ -1,0 +1,153 @@
+"""Pluggable per-pixel BSDF closures for the G-buffer tracer.
+
+The reference's BSDF plugin hierarchy (MatDiffBSDF / TransBSDF /
+MatrefractBSDF, myutils/mi_plugin.py) becomes closure factories: each
+returns (eval_fn, sample_fn) operating on batched arrays with a flat pixel
+index, so the tracer is BSDF-agnostic and everything inlines under jit.
+
+Signatures:
+    eval_fn(idx, wi, wo, normal) -> (brdf (...,3), pdf (...,1))
+    sample_fn(u1, u2, idx, wo, normal) -> (wi, pdf, weight)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from materialist_tpu.camera import Camera
+from materialist_tpu.ops import brdf as B
+from materialist_tpu.render.scene import Materials
+
+PI = 3.141592653589793
+
+
+def disney(mats: Materials):
+    """Standard material BSDF (MatDiffBSDF, mi_plugin.py:1229-1475)."""
+    n = mats.albedo.shape[0] * mats.albedo.shape[1]
+    a = mats.albedo.reshape(n, 3)
+    r = mats.roughness.reshape(n, 1)
+    m = mats.metallic.reshape(n, 1)
+
+    def eval_fn(idx, wi, wo, normal):
+        return B.eval_brdf(wi, wo, normal, a[idx], r[idx], m[idx])
+
+    def sample_fn(u1, u2, idx, wo, normal):
+        return B.sample_brdf(u1, u2, wo, normal, a[idx], r[idx], m[idx])
+
+    return eval_fn, sample_fn
+
+
+def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
+                positions, refract_distance: float = 1.0):
+    """Transparency-editing BSDF (TransBSDF, mi_plugin.py:1477-1770).
+
+    Inside ``mask``: Disney diffuse + metal lobe scaled by (1-specTrans)
+    plus a glass lobe whose transmission fetches the *background image* at
+    a doubly-refracted screen coordinate (the reference's screen-space
+    refraction trick, mi_plugin.py:1503-1519). Outside: the original BSDF.
+
+    positions: (N, 3) world positions per pixel (for the refraction
+    reprojection). refract_distance: 1.0, or 100 when keep_albedo_color
+    (mi_plugin.py:1486).
+    """
+    n = mats.albedo.shape[0] * mats.albedo.shape[1]
+    a = mats.albedo.reshape(n, 3)
+    r = mats.roughness.reshape(n, 1)
+    m = mats.metallic.reshape(n, 1)
+    bg_flat = bg.reshape(n, 3)
+    mask_flat = mask.reshape(n)
+    w_img = mats.albedo.shape[1]
+    h_img = mats.albedo.shape[0]
+
+    def refract_dir(wi, normal, eta_ratio):
+        """Snell refraction (mi_plugin.py:1494-1501); wi points away."""
+        cos_i = B.dot(wi, normal)
+        sin2_t = eta_ratio ** 2 * jnp.maximum(0.0, 1.0 - cos_i ** 2)
+        cos_t = jnp.sqrt(jnp.clip(1.0 - sin2_t, 0.0, 1.0))
+        d = eta_ratio * (normal * cos_i - wi) - normal * cos_t
+        return B.normalize(d)
+
+    def refracted_index(idx, wi, normal):
+        """Double refraction → screen coord → flat index
+        (mi_plugin.py:1503-1519)."""
+        pos = positions[idx]
+        eta = 1.0 / ior  # entering the medium
+        d1 = refract_dir(wi, normal, eta)
+        p1 = pos + 0.3 * refract_distance * d1
+        d2 = refract_dir(-d1, normal, ior)
+        p2 = p1 + refract_distance * d2
+        uv = cam.project(p2)
+        ui = jnp.clip(jnp.floor(uv[..., 0] + 0.5).astype(jnp.int32), 0,
+                      w_img - 1)
+        vi = jnp.clip(jnp.floor(uv[..., 1] + 0.5).astype(jnp.int32), 0,
+                      h_img - 1)
+        return vi * w_img + ui
+
+    def eval_fn(idx, wi, wo, normal):
+        alb, rough, metal = a[idx], r[idx], m[idx]
+        in_mask = mask_flat[idx][..., None]
+        ridx = jnp.where(mask_flat[idx],
+                         refracted_index(idx, wo, normal), idx)
+        bg_col = bg_flat[ridx]
+
+        h = B.normalize(wi + wo)
+        no_l = jnp.maximum(B.dot(normal, wi), 0.0)
+        no_v = jnp.maximum(B.dot(normal, wo), 0.0)
+        vo_h = jnp.maximum(B.dot(wo, h), 0.0)
+        no_h = jnp.maximum(B.dot(normal, h), 0.0)
+        lo_h = jnp.maximum(B.dot(wi, h), 0.0)
+
+        d = B.d_ggx(no_h, rough)
+        pdf = 0.5 * d / (4 * jnp.maximum(vo_h, 1e-4)) * no_h \
+            + 0.5 * no_l / PI
+        g = B.g_smith(no_v, no_l, rough)
+
+        # original Disney BRDF (outside mask)
+        base_d = alb * (1 - metal)
+        f_d90 = 0.5 + 2 * vo_h ** 2 * rough
+        f_out = 1 + (f_d90 - 1) * (1 - no_v) ** 5
+        f_in = 1 + (f_d90 - 1) * (1 - no_l) ** 5
+        brdf_ori = base_d / PI * f_out * f_in * no_l
+        c0 = (1 - metal) * 0.04 + metal * alb
+        f_m = c0 + (1 - c0) * (1 - vo_h) ** 5
+        brdf_ori = brdf_ori + d * g * f_m / 4 * no_l
+
+        # edited glass BSDF (inside mask, mi_plugin.py:1690-1716)
+        kd = alb * (1 - metal) * (1 - spec_trans)
+        base_glass = (1 - metal) * bg_col * spec_trans
+        brdf_diff = kd / PI * no_l
+        brdf_metal = d * g * f_m / 4.0 * no_l
+        hw_in = 1.0 / (lo_h + 1e-6)
+        hw_out = 1.0 / (vo_h + 1e-6)
+        nw_in = 1.0 / (no_l + 1e-6)
+        nw_out = 1.0 / (no_v + 1e-6)
+        r_s = (hw_in - ior * hw_out) / (hw_in + ior * hw_out)
+        r_p = (ior * hw_in - hw_out) / (ior * hw_in + hw_out)
+        f_glass = 0.5 * (r_s ** 2 + r_p ** 2)
+        d_hack = B.d_ggx(no_h, jnp.ones_like(rough))
+        btdf = jnp.sqrt(jnp.maximum(base_glass, 0.0)) * g * d_hack \
+            * (1 - f_glass) * (ior ** 2 * hw_in * hw_out) \
+            / (nw_in * nw_out * (ior * hw_in + hw_out) ** 2)
+        brdf_spec_edit = base_glass * d * g / (4 * nw_in)
+        sign = no_l * no_v
+        f_glass_lobe = jnp.where(sign > 0, brdf_spec_edit, btdf)
+        bsdf_edit = brdf_diff + brdf_metal + f_glass_lobe
+
+        bsdf = jnp.where(in_mask, bsdf_edit, brdf_ori)
+        bsdf = jnp.maximum(bsdf, 0.0)
+        pdf = jnp.maximum(pdf, 0.0)
+        return jnp.nan_to_num(bsdf), jnp.nan_to_num(pdf)
+
+    def sample_fn(u1, u2, idx, wo, normal):
+        # lobe selection identical to the base plugin (mi_plugin.py:1602-1607)
+        rough = r[idx]
+        wi_d = B.sample_diffuse(u2, normal)
+        wi_s = B.sample_ggx(u2, rough, wo, normal)
+        wi = jnp.where((u1 > 0.5)[..., None], wi_d, wi_s)
+        f, pdf = eval_fn(idx, wi, wo, normal)
+        pdf = jax.lax.stop_gradient(pdf)
+        weight = jnp.where(pdf > 1e-6, f / (pdf + 1e-4), 0.0)
+        return wi, pdf, jnp.nan_to_num(weight)
+
+    return eval_fn, sample_fn

@@ -59,16 +59,22 @@ def _shading_normal(cfg, mats_n_flat, geo_n_flat, idx):
 
 
 def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
-                 mats: Materials, envmap):
-    """Trace cfg.chunk samples for every pixel. Returns (H, W, 3) mean."""
+                 mats: Materials, envmap, bsdf=None):
+    """Trace cfg.chunk samples for every pixel. Returns (H, W, 3) mean.
+
+    ``bsdf``: optional (eval_fn, sample_fn) pair from render/bsdf.py;
+    defaults to the Disney material BSDF built from ``mats``.
+    """
     h, w = gbuf.dist.shape
     n = h * w
     s = cfg.chunk
 
+    if bsdf is None:
+        from materialist_tpu.render import bsdf as bsdf_mod
+        bsdf = bsdf_mod.disney(mats)
+    eval_fn, sample_fn = bsdf
+
     env_sampler = em.build_sampler(envmap)
-    a_flat = mats.albedo.reshape(n, 3)
-    r_flat = mats.roughness.reshape(n, 1)
-    m_flat = mats.metallic.reshape(n, 1)
     n_flat = mats.normal.reshape(n, 3)
     geo_flat = gbuf.normal_geo.reshape(n, 3)
     pos_flat = gbuf.position.reshape(n, 3)
@@ -96,9 +102,6 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
 
-        alb = _gather(a_flat, idx)
-        rough = _gather(r_flat, idx)
-        metal = _gather(m_flat, idx)
         nrm = _shading_normal(cfg, n_flat, geo_flat, idx)
 
         # ---- NEE: envmap importance sample + shadow march + MIS
@@ -106,7 +109,7 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             u_nee = jax.random.uniform(k_nee, (s, n, 2))
             wi_e, pdf_e, le = em.sample(env_sampler, u_nee)
             wi_e, pdf_e = sg(wi_e), sg(pdf_e)
-            f_e, pdf_b_at_e = brdf.eval_brdf(wi_e, wo, nrm, alb, rough, metal)
+            f_e, pdf_b_at_e = eval_fn(idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             shadowed = ss.occluded(cam, dist_map, valid_map, sg(pos), wi_e,
                                    n_steps=cfg.shadow_steps)
@@ -117,8 +120,7 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         # ---- BSDF sampling: continue the path / hit the envmap
         u1 = jax.random.uniform(k_lobe, (s, n, 1))
         u2 = jax.random.uniform(k_uv, (s, n, 2))
-        wi, pdf_b, weight = brdf.sample_brdf(u1[..., 0], u2, wo, nrm,
-                                             alb, rough, metal)
+        wi, pdf_b, weight = sample_fn(u1[..., 0], u2, idx, wo, nrm)
         wi = sg(wi)
         hit = jax.tree.map(sg, ss.march(cam, dist_map, valid_map, sg(pos),
                                         wi, n_steps=cfg.march_steps))
@@ -145,19 +147,14 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         h, w, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
-def render(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
-           mats: Materials, envmap):
-    """Render the scene: MC estimate with cfg.spp samples per pixel.
-
-    Differentiable w.r.t. ``mats`` and ``envmap`` (the reference's
-    Differentiable params, mi_plugin.py:1464-1469 + emitter.data).
-    """
+def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                     mats: Materials, envmap, bsdf=None):
+    """Render with an arbitrary BSDF closure pair (render/bsdf.py)."""
     n_chunks = max(cfg.spp // cfg.chunk, 1)
     keys = jax.random.split(key, n_chunks)
 
     body = jax.checkpoint(
-        lambda k: _trace_chunk(k, cfg, cam, gbuf, mats, envmap))
+        lambda k: _trace_chunk(k, cfg, cam, gbuf, mats, envmap, bsdf))
 
     def scan_fn(acc, k):
         return acc + body(k), None
@@ -166,3 +163,14 @@ def render(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     acc0 = jnp.zeros((h, w, 3), jnp.float32)
     total, _ = jax.lax.scan(scan_fn, acc0, keys)
     return total / n_chunks
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cam"))
+def render(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+           mats: Materials, envmap):
+    """Render the scene: MC estimate with cfg.spp samples per pixel.
+
+    Differentiable w.r.t. ``mats`` and ``envmap`` (the reference's
+    Differentiable params, mi_plugin.py:1464-1469 + emitter.data).
+    """
+    return render_with_bsdf(key, cfg, cam, gbuf, mats, envmap)
