@@ -51,7 +51,7 @@ def _sample_heightfield(dist_flat, valid_flat, cam: Camera, q):
 def march(cam: Camera, dist_map, valid_map, origin, direction,
           n_steps: int = 24, n_refine: int = 5, t_min_frac: float = 2e-3,
           t_max_frac: float = 3.0, bias_frac: float = 4e-3,
-          interval_frac: float = 0.35, vectorized: bool = True) -> Hit:
+          interval_frac: float = 0.35, vectorized: bool = False) -> Hit:
     """March rays from surface points through the depth heightfield.
 
     Args:
@@ -96,40 +96,34 @@ def march(cam: Camera, dist_map, valid_map, origin, direction,
         bias = bias_frac * surf_d
         return jnp.where(ok, ray_d - surf_d - bias, -jnp.inf), idx, ok, ray_d
 
-    def body(i, carry):
-        found, t_prev, t_at, excess_at, exited_all = carry
-        t = t_lo * ratio ** i.astype(jnp.float32)
+    # NOTE: statically unrolled — a gather inside lax.fori_loop/scan costs
+    # ~15 ms *per iteration* on this backend vs ~0.03 ms unrolled (kernel
+    # re-dispatch per iteration); unrolling is a ~200× win for the march.
+    found = jnp.zeros(batch_shape, bool)
+    t_before = jnp.full(batch_shape, t_lo, **f32)
+    t_cross = jnp.zeros(batch_shape, **f32)
+    excess_cross = jnp.full(batch_shape, -jnp.inf, **f32)
+    exited = jnp.zeros(batch_shape, bool)
+    for i in range(n_steps):
+        t = jnp.full(batch_shape, t_lo * ratio ** i, **f32)
         excess, _, ok, ray_d = ray_excess(t)
-        behind_cam = ray_d <= 0.0
-        exited_now = (~ok) | behind_cam
-        crossing = (excess > 0.0) & ~found & ~exited_all
-        t_at = jnp.where(crossing, t, t_at)
-        excess_at = jnp.where(crossing, excess, excess_at)
+        exited_now = (~ok) | (ray_d <= 0.0)
+        crossing = (excess > 0.0) & ~found & ~exited
+        t_cross = jnp.where(crossing, t, t_cross)
+        excess_cross = jnp.where(crossing, excess, excess_cross)
         found = found | crossing
-        exited_all = exited_all | (exited_now & ~found)
-        t_prev = jnp.where(found | exited_all, t_prev, t)
-        return found, t_prev, t_at, excess_at, exited_all
+        exited = exited | (exited_now & ~found)
+        t_before = jnp.where(found | exited, t_before, t)
 
-    found0 = jnp.zeros(batch_shape, bool)
-    carry = (found0, jnp.full(batch_shape, t_lo, **f32),
-             jnp.zeros(batch_shape, **f32),
-             jnp.full(batch_shape, -jnp.inf, **f32),
-             jnp.zeros(batch_shape, bool))
-    found, t_before, t_cross, excess_cross, exited = jax.lax.fori_loop(
-        0, n_steps, body, carry)
-
-    # Bisection refine within [t_before, t_cross].
+    # Bisection refine within [t_before, t_cross] (unrolled, same reason).
     lo = t_before
     hi = jnp.where(found, t_cross, t_before)
-
-    def refine(_, lohi):
-        lo, hi = lohi
+    for _ in range(n_refine):
         mid = 0.5 * (lo + hi)
         excess, _, ok, _ = ray_excess(mid)
         behind = (excess > 0.0) & ok
-        return jnp.where(behind, lo, mid), jnp.where(behind, mid, hi)
-
-    lo, hi = jax.lax.fori_loop(0, n_refine, refine, (lo, hi))
+        lo = jnp.where(behind, lo, mid)
+        hi = jnp.where(behind, mid, hi)
     t_hit = jnp.where(found, hi, t_cross)
 
     excess_hit, idx_hit, ok_hit, _ = ray_excess(t_hit)

@@ -156,12 +156,13 @@ def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     body = jax.checkpoint(
         lambda k: _trace_chunk(k, cfg, cam, gbuf, mats, envmap, bsdf))
 
-    def scan_fn(acc, k):
-        return acc + body(k), None
-
+    # Unrolled accumulation: a lax.scan whose body contains gathers pays a
+    # large per-iteration dispatch cost on TPU; checkpointing per chunk
+    # still bounds backward memory to one chunk.
     h, w = gbuf.dist.shape
-    acc0 = jnp.zeros((h, w, 3), jnp.float32)
-    total, _ = jax.lax.scan(scan_fn, acc0, keys)
+    total = jnp.zeros((h, w, 3), jnp.float32)
+    for i in range(n_chunks):
+        total = total + body(keys[i])
     return total / n_chunks
 
 
