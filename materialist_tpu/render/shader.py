@@ -44,6 +44,8 @@ class RenderConfig(NamedTuple):
     shadow_steps: int = 16
     nee: bool = True          # envmap NEE + MIS (Mitsuba path behavior)
     sky_background: bool = True  # invalid pixels show the envmap
+    march_vectorized: bool = False  # True: step-parallel march (fast CPU
+    # compile, large intermediates); False: statically unrolled (TPU)
 
 
 def _gather(img_flat, idx):
@@ -112,7 +114,8 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             f_e, pdf_b_at_e = eval_fn(idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             shadowed = ss.occluded(cam, dist_map, valid_map, sg(pos), wi_e,
-                                   n_steps=cfg.shadow_steps)
+                                   n_steps=cfg.shadow_steps,
+                                   vectorized=cfg.march_vectorized)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
             gate = (alive & ~shadowed)[..., None]
             radiance = radiance + jnp.where(gate, contrib, 0.0)
@@ -123,7 +126,8 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         wi, pdf_b, weight = sample_fn(u1[..., 0], u2, idx, wo, nrm)
         wi = sg(wi)
         hit = jax.tree.map(sg, ss.march(cam, dist_map, valid_map, sg(pos),
-                                        wi, n_steps=cfg.march_steps))
+                                        wi, n_steps=cfg.march_steps,
+                                        vectorized=cfg.march_vectorized))
 
         le_miss = em.lookup_bilinear(envmap, wi)
         if cfg.nee:

@@ -59,7 +59,10 @@ def _render_scene(mat, depth, mask=None, spp=16, res=RES):
         jnp.asarray(_down(mat["metallic"])),
         jnp.asarray(_down(mat["normal"])),
     )
-    cfg = RenderConfig(spp=spp, chunk=4, march_steps=16, shadow_steps=12)
+    # vectorized march + single chunk: keeps CPU *compile* time sane (the
+    # TPU-default unrolled march is ~30 min of XLA-CPU compilation here)
+    cfg = RenderConfig(spp=spp, chunk=spp, march_steps=16, shadow_steps=12,
+                       march_vectorized=True)
     img = render(jax.random.PRNGKey(0), cfg, cam, gbuf, mats,
                  jnp.asarray(mat["envmap"]))
     return np.asarray(img)
