@@ -87,6 +87,7 @@ def write(path: str, img, linear_input: bool = True) -> None:
         return
     if img.ndim == 3 and img.shape[-1] == 1:
         img = img[..., 0]
+    img = np.nan_to_num(img, nan=0.0, posinf=1.0, neginf=0.0)
     data = srgb_encode(img) if linear_input else np.clip(img, 0.0, 1.0)
     Image.fromarray((data * 255.0 + 0.5).astype(np.uint8)).save(path)
 
