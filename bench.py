@@ -61,7 +61,9 @@ def main():
     envmap = jnp.asarray(mat["envmap"])
     gt_srgb = linear_to_srgb(gt)
 
-    cfg = RenderConfig(spp=BENCH_SPP, chunk=BENCH_SPP)
+    # chunk=4 keeps backward-pass residual memory ~1 GB (the adjoint of one
+    # chunk holds ~100 (chunk, N, 3) arrays; chunk 16 OOMs 16 GB HBM)
+    cfg = RenderConfig(spp=BENCH_SPP, chunk=4)
     optimizer = optax.adam(3e-4)
     params = {"mats": mats, "envmap": envmap}
     opt_state = optimizer.init(params)

@@ -51,7 +51,7 @@ def _sample_heightfield(dist_flat, valid_flat, cam: Camera, q):
 def march(cam: Camera, dist_map, valid_map, origin, direction,
           n_steps: int = 24, n_refine: int = 5, t_min_frac: float = 2e-3,
           t_max_frac: float = 3.0, bias_frac: float = 4e-3,
-          interval_frac: float = 0.35, vectorized: bool = False) -> Hit:
+          interval_frac: float = 2.0, vectorized: bool = False) -> Hit:
     """March rays from surface points through the depth heightfield.
 
     Args:
@@ -202,3 +202,140 @@ def occluded(cam: Camera, dist_map, valid_map, origin, direction,
     h = march(cam, dist_map, valid_map, origin, direction,
               n_steps=n_steps, n_refine=0, **kw)
     return h.hit
+
+
+# ---------------------------------------------------------------------------
+# MXU-gather mip march: the production TPU path.
+#
+# XLA's random gather costs ~8 ns/lookup on TPU, which made the exact
+# march above gather-bound (~1 s per (8, 512²) ray batch). This variant
+# marches coarsely against a min-depth mip (tiny table ⇒ the one-hot MXU
+# lookup in ops/pallas/gather.py is ~free) and only touches the full-res
+# heightfield for a handful of refinement substeps inside the first
+# candidate interval. Geometry is fixed during optimization, so the mip
+# is built once per scene.
+# ---------------------------------------------------------------------------
+
+def build_min_mip(dist_map, valid_map, factor: int = 4):
+    """Min-depth mip with invalid texels excluded (large sentinel)."""
+    h, w = dist_map.shape
+    big = 1.0e30
+    d = jnp.where(valid_map, dist_map, big)
+    mip = d.reshape(h // factor, factor, w // factor, factor).min((1, 3))
+    return mip
+
+
+def march_mip(cam: Camera, dist_map, valid_map, mip, origin, direction,
+              n_steps: int = 24, fine_steps: int = 6,
+              t_min_frac: float = 2e-3, t_max_frac: float = 3.0,
+              bias_frac: float = 4e-3, interval_frac: float = 2.0,
+              mip_factor: int = 4, shadow_only: bool = False) -> Hit:
+    """Two-level march. Returns Hit like `march` (run under stop_gradient).
+
+    Approximation vs the exact march: only the FIRST mip-candidate
+    interval is refined; a false mip positive (possible near silhouettes,
+    where the cell min is closer than the surface along the ray) resolves
+    as a miss instead of continuing — an accepted bias, like the depth
+    mesh itself (SURVEY.md §7).
+    """
+    from materialist_tpu.ops.pallas.gather import onehot_gather
+
+    scene_scale = jnp.max(jnp.where(valid_map, dist_map, 0.0))
+    scene_scale = jnp.maximum(scene_scale, 1e-6)
+    t_lo = t_min_frac * scene_scale
+    t_hi = t_max_frac * scene_scale
+    ratio = (t_hi / t_lo) ** (1.0 / max(n_steps - 1, 1))
+
+    h, w = dist_map.shape
+    mh, mw = mip.shape
+    batch = origin.shape[:-1]
+    f32 = dict(dtype=jnp.float32)
+
+    # single-channel fine table: invalid pixels get a huge sentinel depth
+    # (ray can never be behind it ⇒ no crossing), halving lookup cost
+    # versus a packed [dist, valid] table
+    _SENTINEL = 1.0e30
+    table_fine = jnp.where(valid_map, dist_map, _SENTINEL)
+
+    def project(q):
+        uv = cam.project(q)
+        ui = jnp.floor(uv[..., 0] + 0.5).astype(jnp.int32)
+        vi = jnp.floor(uv[..., 1] + 0.5).astype(jnp.int32)
+        inside = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+        return ui, vi, inside
+
+    # ---- coarse pass on the mip
+    # A ray's own mip cell would trigger an immediate false candidate
+    # (the cell min includes neighbors closer than the start point), which
+    # would consume the single refined interval and turn real hits into
+    # misses — exclude the starting cell from candidacy.
+    ui0, vi0, _ = project(origin)
+    start_cell = jnp.clip(vi0 // mip_factor, 0, mh - 1) * mw \
+        + jnp.clip(ui0 // mip_factor, 0, mw - 1)
+
+    # Track the first TWO rising-edge candidate intervals: a silhouette
+    # cell can produce a false first candidate (cell min closer than the
+    # surface along the ray); the second interval then carries the true
+    # hit instead of turning it into a miss.
+    prev_cand = jnp.zeros(batch, bool)
+    edge_cnt = jnp.zeros(batch, jnp.int32)
+    exited = jnp.zeros(batch, bool)
+    t_prev = jnp.full(batch, t_lo, **f32)
+    tb = [jnp.full(batch, t_lo, **f32) for _ in range(2)]
+    tc = [jnp.full(batch, t_lo, **f32) for _ in range(2)]
+    for i in range(n_steps):
+        t = t_lo * ratio ** i
+        q = origin + t * direction
+        ray_d = -q[..., 2]
+        ui, vi, inside = project(q)
+        mi = jnp.clip(vi // mip_factor, 0, mh - 1) * mw \
+            + jnp.clip(ui // mip_factor, 0, mw - 1)
+        min_d = onehot_gather(mip, mi)
+        candidate = inside & (ray_d > min_d * (1.0 - bias_frac)) \
+            & (ray_d > 0.0) & (mi != start_cell) & ~exited
+        rising = candidate & ~prev_cand
+        for s in range(2):
+            newk = rising & (edge_cnt == s)
+            tb[s] = jnp.where(newk, t_prev, tb[s])
+            tc[s] = jnp.where(newk, t, tc[s])
+        edge_cnt = edge_cnt + rising.astype(jnp.int32)
+        prev_cand = candidate
+        exited = exited | (((~inside) | (ray_d <= 0.0)) & (edge_cnt == 0))
+        t_prev = t
+
+    found = edge_cnt > 0
+    if shadow_only:
+        return Hit(hit=found, idx=jnp.zeros(batch, jnp.int32),
+                   t=tc[0], exited=exited | ~found)
+
+    # ---- fine passes on the full heightfield over each interval
+    # (window widened by one coarse step to catch mid-run crossings)
+    hit = jnp.zeros(batch, bool)
+    t_hit = tc[0]
+    idx_hit = jnp.zeros(batch, jnp.int32)
+    excess_hit = jnp.zeros(batch, **f32)
+    frac = (jnp.arange(fine_steps, **f32) + 1.0) / fine_steps
+    for s in range(2):
+        lo_t = tb[s]
+        hi_t = tc[s] * ratio
+        gate = (edge_cnt > s) & ~hit
+        for k in range(fine_steps):
+            t = lo_t + (hi_t - lo_t) * frac[k]
+            q = origin + t[..., None] * direction
+            ray_d = -q[..., 2]
+            ui, vi, inside = project(q)
+            idx = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+            surf_d = onehot_gather(table_fine, idx)
+            ok = inside & (surf_d < 1.0e29)
+            excess = ray_d - surf_d - bias_frac * surf_d
+            crossing = ok & (excess > 0.0) & gate & ~hit
+            t_hit = jnp.where(crossing, t, t_hit)
+            idx_hit = jnp.where(crossing, idx, idx_hit)
+            excess_hit = jnp.where(crossing, excess, excess_hit)
+            hit = hit | crossing
+
+    q = origin + t_hit[..., None] * direction
+    local = jnp.maximum(-q[..., 2], 1e-6)
+    thin = excess_hit < interval_frac * local
+    hit = hit & thin
+    return Hit(hit=hit, idx=idx_hit, t=t_hit, exited=exited | ~hit)

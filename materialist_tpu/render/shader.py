@@ -44,8 +44,14 @@ class RenderConfig(NamedTuple):
     shadow_steps: int = 16
     nee: bool = True          # envmap NEE + MIS (Mitsuba path behavior)
     sky_background: bool = True  # invalid pixels show the envmap
-    march_vectorized: bool = False  # True: step-parallel march (fast CPU
-    # compile, large intermediates); False: statically unrolled (TPU)
+    march_impl: str = "mip"   # "mip": min-mip coarse + MXU-gather fine
+    #                           (production TPU path); "exact": per-step
+    #                           full-res heightfield tests
+    mip_factor: int = 4
+    fine_steps: int = 6       # fine substeps within the candidate interval
+    shadow_fine_steps: int = 2
+    march_vectorized: bool = False  # exact impl only: step-parallel march
+    # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
 
 
 def _gather(img_flat, idx):
@@ -100,6 +106,32 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     dist_map = sg(gbuf.dist)
     valid_map = gbuf.valid
 
+    if cfg.march_impl == "mip":
+        mip = ss.build_min_mip(dist_map, valid_map, cfg.mip_factor)
+
+        def do_march(pos_, wi_):
+            return ss.march_mip(cam, dist_map, valid_map, mip, pos_, wi_,
+                                n_steps=cfg.march_steps,
+                                fine_steps=cfg.fine_steps,
+                                mip_factor=cfg.mip_factor)
+
+        def do_occlude(pos_, wi_):
+            return ss.march_mip(cam, dist_map, valid_map, mip, pos_, wi_,
+                                n_steps=cfg.shadow_steps,
+                                fine_steps=cfg.shadow_fine_steps,
+                                mip_factor=cfg.mip_factor,
+                                shadow_only=cfg.shadow_fine_steps == 0).hit
+    else:
+        def do_march(pos_, wi_):
+            return ss.march(cam, dist_map, valid_map, pos_, wi_,
+                            n_steps=cfg.march_steps,
+                            vectorized=cfg.march_vectorized)
+
+        def do_occlude(pos_, wi_):
+            return ss.occluded(cam, dist_map, valid_map, pos_, wi_,
+                               n_steps=cfg.shadow_steps,
+                               vectorized=cfg.march_vectorized)
+
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
@@ -113,9 +145,7 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             wi_e, pdf_e = sg(wi_e), sg(pdf_e)
             f_e, pdf_b_at_e = eval_fn(idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
-            shadowed = ss.occluded(cam, dist_map, valid_map, sg(pos), wi_e,
-                                   n_steps=cfg.shadow_steps,
-                                   vectorized=cfg.march_vectorized)
+            shadowed = do_occlude(sg(pos), wi_e)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
             gate = (alive & ~shadowed)[..., None]
             radiance = radiance + jnp.where(gate, contrib, 0.0)
@@ -125,9 +155,7 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         u2 = jax.random.uniform(k_uv, (s, n, 2))
         wi, pdf_b, weight = sample_fn(u1[..., 0], u2, idx, wo, nrm)
         wi = sg(wi)
-        hit = jax.tree.map(sg, ss.march(cam, dist_map, valid_map, sg(pos),
-                                        wi, n_steps=cfg.march_steps,
-                                        vectorized=cfg.march_vectorized))
+        hit = jax.tree.map(sg, do_march(sg(pos), wi))
 
         le_miss = em.lookup_bilinear(envmap, wi)
         if cfg.nee:
