@@ -1,13 +1,16 @@
 """Pluggable per-pixel BSDF closures for the G-buffer tracer.
 
 The reference's BSDF plugin hierarchy (MatDiffBSDF / TransBSDF /
-MatrefractBSDF, myutils/mi_plugin.py) becomes closure factories: each
-returns (eval_fn, sample_fn) operating on batched arrays with a flat pixel
-index, so the tracer is BSDF-agnostic and everything inlines under jit.
+MatrefractBSDF, myutils/mi_plugin.py) becomes closure factories. TPU
+detail: material fetches are packed into ONE row-gather per bounce (an
+(N, 8) row gather costs the same as (N, 2) on TPU, while separate scalar
+gathers cost ~8 ns/element each), so the protocol is:
 
-Signatures:
-    eval_fn(idx, wi, wo, normal) -> (brdf (...,3), pdf (...,1))
-    sample_fn(u1, u2, idx, wo, normal) -> (wi, pdf, weight)
+    gather_fn(idx)                  -> blob (..., K)  one row-gather
+    eval_fn(blob, idx, wi, wo, n)   -> (brdf (...,3), pdf (...,1))
+    sample_fn(blob, idx, u1,u2,wo,n)-> (wi, pdf, weight)
+
+Both the NEE eval and the lobe-sample eval reuse the same blob.
 """
 
 from __future__ import annotations
@@ -22,20 +25,36 @@ from materialist_tpu.render.scene import Materials
 PI = 3.141592653589793
 
 
+def _pack(mats: Materials):
+    n = mats.albedo.shape[0] * mats.albedo.shape[1]
+    return jnp.concatenate([
+        mats.albedo.reshape(n, 3),
+        mats.roughness.reshape(n, 1),
+        mats.metallic.reshape(n, 1),
+        mats.normal.reshape(n, 3),
+    ], axis=-1)                                  # (N, 8)
+
+
+def _unpack(blob):
+    return blob[..., 0:3], blob[..., 3:4], blob[..., 4:5], blob[..., 5:8]
+
+
 def disney(mats: Materials):
     """Standard material BSDF (MatDiffBSDF, mi_plugin.py:1229-1475)."""
-    n = mats.albedo.shape[0] * mats.albedo.shape[1]
-    a = mats.albedo.reshape(n, 3)
-    r = mats.roughness.reshape(n, 1)
-    m = mats.metallic.reshape(n, 1)
+    table = _pack(mats)
 
-    def eval_fn(idx, wi, wo, normal):
-        return B.eval_brdf(wi, wo, normal, a[idx], r[idx], m[idx])
+    def gather_fn(idx):
+        return table[idx]
 
-    def sample_fn(u1, u2, idx, wo, normal):
-        return B.sample_brdf(u1, u2, wo, normal, a[idx], r[idx], m[idx])
+    def eval_fn(blob, idx, wi, wo, normal):
+        a, r, m, _ = _unpack(blob)
+        return B.eval_brdf(wi, wo, normal, a, r, m)
 
-    return eval_fn, sample_fn
+    def sample_fn(blob, idx, u1, u2, wo, normal):
+        a, r, m, _ = _unpack(blob)
+        return B.sample_brdf(u1, u2, wo, normal, a, r, m)
+
+    return gather_fn, eval_fn, sample_fn
 
 
 def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
@@ -52,13 +71,20 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
     (mi_plugin.py:1486).
     """
     n = mats.albedo.shape[0] * mats.albedo.shape[1]
-    a = mats.albedo.reshape(n, 3)
-    r = mats.roughness.reshape(n, 1)
-    m = mats.metallic.reshape(n, 1)
+    # pack bg + mask + positions alongside the material channels so the
+    # whole state is one row-gather: [a3, r, m, n3, bg3, mask1, pos3]
+    table = jnp.concatenate([
+        _pack(mats),
+        bg.reshape(n, 3),
+        mask.reshape(n, 1).astype(jnp.float32),
+        positions.reshape(n, 3),
+    ], axis=-1)                                  # (N, 15)
     bg_flat = bg.reshape(n, 3)
-    mask_flat = mask.reshape(n)
     w_img = mats.albedo.shape[1]
     h_img = mats.albedo.shape[0]
+
+    def gather_fn(idx):
+        return table[idx]
 
     def refract_dir(wi, normal, eta_ratio):
         """Snell refraction (mi_plugin.py:1494-1501); wi points away."""
@@ -68,10 +94,9 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
         d = eta_ratio * (normal * cos_i - wi) - normal * cos_t
         return B.normalize(d)
 
-    def refracted_index(idx, wi, normal):
+    def refracted_index(pos, wi, normal):
         """Double refraction → screen coord → flat index
         (mi_plugin.py:1503-1519)."""
-        pos = positions[idx]
         eta = 1.0 / ior  # entering the medium
         d1 = refract_dir(wi, normal, eta)
         p1 = pos + 0.3 * refract_distance * d1
@@ -84,11 +109,13 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
                       h_img - 1)
         return vi * w_img + ui
 
-    def eval_fn(idx, wi, wo, normal):
-        alb, rough, metal = a[idx], r[idx], m[idx]
-        in_mask = mask_flat[idx][..., None]
-        ridx = jnp.where(mask_flat[idx],
-                         refracted_index(idx, wo, normal), idx)
+    def eval_fn(blob, idx, wi, wo, normal):
+        alb, rough, metal, _ = _unpack(blob)
+        in_mask_f = blob[..., 11:12]
+        in_mask = in_mask_f > 0.5
+        pos = blob[..., 12:15]
+        ridx = jnp.where(in_mask[..., 0],
+                         refracted_index(pos, wo, normal), idx)
         bg_col = bg_flat[ridx]
 
         h = B.normalize(wi + wo)
@@ -139,15 +166,15 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
         pdf = jnp.maximum(pdf, 0.0)
         return jnp.nan_to_num(bsdf), jnp.nan_to_num(pdf)
 
-    def sample_fn(u1, u2, idx, wo, normal):
+    def sample_fn(blob, idx, u1, u2, wo, normal):
         # lobe selection identical to the base plugin (mi_plugin.py:1602-1607)
-        rough = r[idx]
+        _, rough, _, _ = _unpack(blob)
         wi_d = B.sample_diffuse(u2, normal)
         wi_s = B.sample_ggx(u2, rough, wo, normal)
         wi = jnp.where((u1 > 0.5)[..., None], wi_d, wi_s)
-        f, pdf = eval_fn(idx, wi, wo, normal)
+        f, pdf = eval_fn(blob, idx, wi, wo, normal)
         pdf = jax.lax.stop_gradient(pdf)
         weight = jnp.where(pdf > 1e-6, f / (pdf + 1e-4), 0.0)
         return wi, pdf, jnp.nan_to_num(weight)
 
-    return eval_fn, sample_fn
+    return gather_fn, eval_fn, sample_fn

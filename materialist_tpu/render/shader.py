@@ -54,18 +54,6 @@ class RenderConfig(NamedTuple):
     # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
 
 
-def _gather(img_flat, idx):
-    """Flat gather: img (N, C), idx (...,) → (..., C)."""
-    return img_flat[idx]
-
-
-def _shading_normal(cfg, mats_n_flat, geo_n_flat, idx):
-    if cfg.use_mesh_normal:
-        return _gather(geo_n_flat, idx)
-    n = _gather(mats_n_flat, idx)
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
-
-
 def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                  mats: Materials, envmap, bsdf=None):
     """Trace cfg.chunk samples for every pixel. Returns (H, W, 3) mean.
@@ -80,18 +68,19 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     if bsdf is None:
         from materialist_tpu.render import bsdf as bsdf_mod
         bsdf = bsdf_mod.disney(mats)
-    eval_fn, sample_fn = bsdf
+    gather_fn, eval_fn, sample_fn = bsdf
 
     env_sampler = em.build_sampler(envmap)
-    n_flat = mats.normal.reshape(n, 3)
-    geo_flat = gbuf.normal_geo.reshape(n, 3)
-    pos_flat = gbuf.position.reshape(n, 3)
+    # packed (stop-grad) geometry table: one row-gather per bounce
+    # fetches position + geometric normal together
+    geo_table = jnp.concatenate(
+        [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
+        axis=-1)
 
     sg = jax.lax.stop_gradient
 
     # path state, (s, n, ...)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
-    pos = jnp.broadcast_to(pos_flat, (s, n, 3))
     wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
     alive = jnp.broadcast_to(gbuf.valid.reshape(n), (s, n))
     throughput = jnp.ones((s, n, 3), jnp.float32)
@@ -136,14 +125,22 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
 
-        nrm = _shading_normal(cfg, n_flat, geo_flat, idx)
+        blob = gather_fn(idx)          # one differentiable row-gather
+        geo = sg(geo_table[idx])       # one geometry row-gather (no grad)
+        pos = geo[..., 0:3]
+        if cfg.use_mesh_normal:
+            nrm = geo[..., 3:6]
+        else:
+            nm = blob[..., 5:8]
+            nrm = nm / jnp.maximum(
+                jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
         # ---- NEE: envmap importance sample + shadow march + MIS
         if cfg.nee:
             u_nee = jax.random.uniform(k_nee, (s, n, 2))
             wi_e, pdf_e, le = em.sample(env_sampler, u_nee)
             wi_e, pdf_e = sg(wi_e), sg(pdf_e)
-            f_e, pdf_b_at_e = eval_fn(idx, wi_e, wo, nrm)
+            f_e, pdf_b_at_e = eval_fn(blob, idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             shadowed = do_occlude(sg(pos), wi_e)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
@@ -153,7 +150,7 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         # ---- BSDF sampling: continue the path / hit the envmap
         u1 = jax.random.uniform(k_lobe, (s, n, 1))
         u2 = jax.random.uniform(k_uv, (s, n, 2))
-        wi, pdf_b, weight = sample_fn(u1[..., 0], u2, idx, wo, nrm)
+        wi, pdf_b, weight = sample_fn(blob, idx, u1[..., 0], u2, wo, nrm)
         wi = sg(wi)
         hit = jax.tree.map(sg, do_march(sg(pos), wi))
 
@@ -171,7 +168,6 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         throughput = throughput * weight
         alive = alive & hit.hit
         idx = hit.idx
-        pos = _gather(pos_flat, idx)
         wo = -wi
 
     img = jnp.mean(radiance, axis=0)  # mean over the chunk's samples
