@@ -68,7 +68,9 @@ class SaveBest:
                 self.best_net_params = net_params
 
     def get_best(self):
-        return dict(self.best)
+        out = dict(self.best)
+        out["loss"] = self.best_loss
+        return out
 
     def save_results(self, path: str):
         os.makedirs(path, exist_ok=True)

@@ -225,11 +225,28 @@ def build_min_mip(dist_map, valid_map, factor: int = 4):
     return mip
 
 
+def build_fine_table(dist_map, valid_map, factor: int = 2):
+    """Surface table for the fine pass: factor×factor *mean* depth over
+    valid texels (invalid-only cells get the no-hit sentinel). factor 1
+    returns the full-res sentinel table."""
+    big = 1.0e30
+    if factor == 1:
+        return jnp.where(valid_map, dist_map, big)
+    h, w = dist_map.shape
+    v = valid_map.reshape(h // factor, factor, w // factor, factor)
+    d = jnp.where(valid_map, dist_map, 0.0).reshape(
+        h // factor, factor, w // factor, factor)
+    cnt = v.sum((1, 3))
+    mean = d.sum((1, 3)) / jnp.maximum(cnt, 1)
+    return jnp.where(cnt > 0, mean, big)
+
+
 def march_mip(cam: Camera, dist_map, valid_map, mip, origin, direction,
               n_steps: int = 24, fine_steps: int = 6,
               t_min_frac: float = 2e-3, t_max_frac: float = 3.0,
               bias_frac: float = 4e-3, interval_frac: float = 2.0,
-              mip_factor: int = 4, shadow_only: bool = False) -> Hit:
+              mip_factor: int = 4, shadow_only: bool = False,
+              fine_table=None, fine_factor: int = 1) -> Hit:
     """Two-level march. Returns Hit like `march` (run under stop_gradient).
 
     Approximation vs the exact march: only the FIRST mip-candidate
@@ -252,10 +269,13 @@ def march_mip(cam: Camera, dist_map, valid_map, mip, origin, direction,
     f32 = dict(dtype=jnp.float32)
 
     # single-channel fine table: invalid pixels get a huge sentinel depth
-    # (ray can never be behind it ⇒ no crossing), halving lookup cost
-    # versus a packed [dist, valid] table
-    _SENTINEL = 1.0e30
-    table_fine = jnp.where(valid_map, dist_map, _SENTINEL)
+    # (ray can never be behind it ⇒ no crossing). The caller may supply a
+    # reduced-resolution mean-depth table (fine_factor > 1): the surface
+    # *test* coarsens while the hit pixel index stays full-res (it comes
+    # from projection, not the table).
+    if fine_table is None:
+        fine_table = build_fine_table(dist_map, valid_map, fine_factor)
+    fh, fw = fine_table.shape
 
     def project(q):
         uv = cam.project(q)
@@ -325,7 +345,9 @@ def march_mip(cam: Camera, dist_map, valid_map, mip, origin, direction,
             ray_d = -q[..., 2]
             ui, vi, inside = project(q)
             idx = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
-            surf_d = onehot_gather(table_fine, idx)
+            fidx = jnp.clip(vi // fine_factor, 0, fh - 1) * fw \
+                + jnp.clip(ui // fine_factor, 0, fw - 1)
+            surf_d = onehot_gather(fine_table, fidx)
             ok = inside & (surf_d < 1.0e29)
             excess = ray_d - surf_d - bias_frac * surf_d
             crossing = ok & (excess > 0.0) & gate & ~hit

@@ -50,6 +50,7 @@ class RenderConfig(NamedTuple):
     mip_factor: int = 4
     fine_steps: int = 6       # fine substeps within the candidate interval
     shadow_fine_steps: int = 2
+    fine_factor: int = 2      # fine-pass surface table resolution divisor
     march_vectorized: bool = False  # exact impl only: step-parallel march
     # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
 
@@ -97,19 +98,25 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
     if cfg.march_impl == "mip":
         mip = ss.build_min_mip(dist_map, valid_map, cfg.mip_factor)
+        fine_table = ss.build_fine_table(dist_map, valid_map,
+                                         cfg.fine_factor)
 
         def do_march(pos_, wi_):
             return ss.march_mip(cam, dist_map, valid_map, mip, pos_, wi_,
                                 n_steps=cfg.march_steps,
                                 fine_steps=cfg.fine_steps,
-                                mip_factor=cfg.mip_factor)
+                                mip_factor=cfg.mip_factor,
+                                fine_table=fine_table,
+                                fine_factor=cfg.fine_factor)
 
         def do_occlude(pos_, wi_):
             return ss.march_mip(cam, dist_map, valid_map, mip, pos_, wi_,
                                 n_steps=cfg.shadow_steps,
                                 fine_steps=cfg.shadow_fine_steps,
                                 mip_factor=cfg.mip_factor,
-                                shadow_only=cfg.shadow_fine_steps == 0).hit
+                                shadow_only=cfg.shadow_fine_steps == 0,
+                                fine_table=fine_table,
+                                fine_factor=cfg.fine_factor).hit
     else:
         def do_march(pos_, wi_):
             return ss.march(cam, dist_map, valid_map, pos_, wi_,
