@@ -44,7 +44,7 @@ def test_envmap_phase_converges(synthetic, tmp_path):
            "metallic": true_mats.metallic, "normal": true_mats.normal,
            "gt_image": gt}
     opts = InverseOptions(opt_src="skip", opt_order=("skip",), spp=8,
-                          chunk=8, num_epochs=60, frame_every=0,
+                          chunk=8, num_epochs=40, frame_every=0,
                           march_steps=8, shadow_steps=8)
     best = optimize(gbuf, cam, mat, str(tmp_path), opts)
     env_rec = np.asarray(best["envmap"])
@@ -69,7 +69,7 @@ def test_material_phase_improves_albedo(synthetic, tmp_path):
     # in loop 2.
     opts = InverseOptions(opt_src="a", opt_order=("a",),
                           model_name="none", spp=8, chunk=8,
-                          num_epochs=40, frame_every=0, max_loops=3,
+                          num_epochs=30, frame_every=0, max_loops=3,
                           march_steps=8, shadow_steps=8)
     best = optimize(gbuf, cam, mat, str(tmp_path), opts)
     err1 = float(jnp.abs(jnp.asarray(best["albedo"])
