@@ -44,9 +44,10 @@ class RenderConfig(NamedTuple):
     shadow_steps: int = 16
     nee: bool = True          # envmap NEE + MIS (Mitsuba path behavior)
     sky_background: bool = True  # invalid pixels show the envmap
-    march_impl: str = "mip"   # "mip": min-mip coarse + MXU-gather fine
-    #                           (production TPU path); "exact": per-step
-    #                           full-res heightfield tests
+    march_impl: str = "fused"  # "fused": whole-march Pallas kernel (vreg
+    #                            gathers, production path; exact-equal CPU
+    #                            fallback); "mip": per-step MXU-gather
+    #                            lookups; "exact": full-res per-step tests
     mip_factor: int = 4
     fine_steps: int = 6       # fine substeps within the candidate interval
     shadow_fine_steps: int = 2
@@ -96,7 +97,20 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     dist_map = sg(gbuf.dist)
     valid_map = gbuf.valid
 
-    if cfg.march_impl == "mip":
+    if cfg.march_impl == "fused":
+        from materialist_tpu.ops.pallas.march_kernel import march_fused
+
+        def do_march(pos_, wi_):
+            return march_fused(cam, dist_map, valid_map, pos_, wi_,
+                               n_steps=cfg.march_steps,
+                               fine_steps=cfg.fine_steps)
+
+        def do_occlude(pos_, wi_):
+            return march_fused(cam, dist_map, valid_map, pos_, wi_,
+                               n_steps=cfg.shadow_steps,
+                               fine_steps=max(cfg.shadow_fine_steps, 1),
+                               shadow_only=cfg.shadow_fine_steps == 0).hit
+    elif cfg.march_impl == "mip":
         mip = ss.build_min_mip(dist_map, valid_map, cfg.mip_factor)
         fine_table = ss.build_fine_table(dist_map, valid_map,
                                          cfg.fine_factor)
