@@ -55,20 +55,29 @@ def uv_to_dir(u, v, height: int, width: int):
                      axis=-1)
 
 
+def _onehot(idx, size):
+    """(…,) int32 → (…, size) f32 one-hot. For the 16/32-sized envmap axes
+    this turns every table access into a small matmul/select-reduce: TPU's
+    general gather is ~8 ns/element and its scatter adjoint is worse, while
+    one-hot contractions ride the MXU *and* differentiate to transposed
+    matmuls (no scatter at all)."""
+    rng = jnp.arange(size, dtype=jnp.int32)
+    return (idx[..., None] == rng).astype(jnp.float32)
+
+
 def lookup_nearest(envmap, d):
     """Nearest-texel radiance fetch (envmap_utils.py:29-36 semantics)."""
     h, w = envmap.shape[0], envmap.shape[1]
     u, v = dir_to_uv(d, h, w)
     ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
-    return envmap[vi, ui]
+    rows = jnp.einsum("...h,hwc->...wc", _onehot(vi, h), envmap)
+    return jnp.einsum("...wc,...w->...c", rows, _onehot(ui, w))
 
 
 def lookup_bilinear(envmap, d):
-    """Bilinear radiance fetch with φ-wrap / θ-clamp (Mitsuba emitter eval).
-
-    For a 16×32 map this is formulated as four gathers; XLA fuses the lerp.
-    """
+    """Bilinear radiance fetch with φ-wrap / θ-clamp (Mitsuba emitter
+    eval), gather-free (see _onehot)."""
     h, w = envmap.shape[0], envmap.shape[1]
     u, v = dir_to_uv(d, h, w)
     uf = u - 0.5
@@ -81,13 +90,13 @@ def lookup_bilinear(envmap, d):
     u1i = jnp.mod(u0i + 1, w)
     v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
     v1i = jnp.clip(v0i + 1, 0, h - 1)
-    c00 = envmap[v0i, u0i]
-    c01 = envmap[v0i, u1i]
-    c10 = envmap[v1i, u0i]
-    c11 = envmap[v1i, u1i]
-    top = c00 * (1.0 - du) + c01 * du
-    bot = c10 * (1.0 - du) + c11 * du
-    return top * (1.0 - dv) + bot * dv
+
+    uoh = _onehot(u0i, w) * (1.0 - du) + _onehot(u1i, w) * du
+    voh0 = _onehot(v0i, h)
+    voh1 = _onehot(v1i, h)
+    rows = jnp.einsum("...h,hwc->...wc",
+                      voh0 * (1.0 - dv) + voh1 * dv, envmap)
+    return jnp.einsum("...wc,...w->...c", rows, uoh)
 
 
 def build_sampler(envmap) -> EnvmapSampler:
@@ -129,24 +138,29 @@ def sample(sampler: EnvmapSampler, u2):
     h, w = env.shape[0], env.shape[1]
     x0, x1 = u2[..., 0], u2[..., 1]
 
-    v_idx = jnp.clip(jnp.searchsorted(m_cdf, x0), 0, h - 1)
-    prev_m = jnp.where(v_idx > 0, m_cdf[jnp.maximum(v_idx - 1, 0)], 0.0)
-    dv = _interp_cdf(m_cdf[v_idx], prev_m, x0)
-    pdf_m = m_pdf[v_idx]
+    # gather-free inverse CDF: searchsorted = comparison count against the
+    # (tiny) CDF vectors; per-row tables fetched via one-hot contraction
+    v_idx = jnp.clip(
+        jnp.sum((m_cdf < x0[..., None]).astype(jnp.int32), -1), 0, h - 1)
+    voh = _onehot(v_idx, h)
+    m_cdf_prev = jnp.concatenate([jnp.zeros((1,), m_cdf.dtype),
+                                  m_cdf[:-1]])
+    at_m = voh @ m_cdf
+    prev_m = voh @ m_cdf_prev
+    dv = _interp_cdf(at_m, prev_m, x0)
+    pdf_m = voh @ m_pdf
     v = v_idx.astype(env.dtype) + dv
 
-    row_cdf = c_cdf[v_idx]  # (..., W) gather of rows
+    row_cdf = jnp.einsum("...h,hw->...w", voh, c_cdf)
     u_idx = jnp.clip(
         jnp.sum((row_cdf < x1[..., None]).astype(jnp.int32), axis=-1),
         0, w - 1)
-    prev_c = jnp.where(
-        u_idx > 0,
-        jnp.take_along_axis(row_cdf, jnp.maximum(u_idx - 1, 0)[..., None],
-                            axis=-1)[..., 0],
-        0.0)
-    at_c = jnp.take_along_axis(row_cdf, u_idx[..., None], axis=-1)[..., 0]
+    uoh = _onehot(u_idx, w)
+    uoh_prev = _onehot(jnp.maximum(u_idx - 1, 0), w)
+    at_c = jnp.sum(row_cdf * uoh, -1)
+    prev_c = jnp.where(u_idx > 0, jnp.sum(row_cdf * uoh_prev, -1), 0.0)
     du = _interp_cdf(at_c, prev_c, x1)
-    pdf_c = c_pdf[v_idx, u_idx]
+    pdf_c = jnp.sum(jnp.einsum("...h,hw->...w", voh, c_pdf) * uoh, -1)
     u = u_idx.astype(env.dtype) + du
 
     theta = v * PI / h
@@ -170,10 +184,13 @@ def pdf_dir(sampler: EnvmapSampler, d):
     u, v = dir_to_uv(d, h, w)
     ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    voh = _onehot(vi, h)
+    cp = jnp.sum(jnp.einsum("...h,hw->...w", voh, sampler.c_pdf)
+                 * _onehot(ui, w), -1)
+    mp = voh @ sampler.m_pdf
     theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
     sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
-    pdf = (h * w) * (sampler.c_pdf[vi, ui] * sampler.m_pdf[vi]) / (
-        2.0 * PI * PI * sin_theta)
+    pdf = (h * w) * (cp * mp) / (2.0 * PI * PI * sin_theta)
     return pdf[..., None]
 
 
