@@ -57,7 +57,7 @@ class InverseOptions:
     frame_every: int = 10              # 0 disables frame/video output
     max_loops: int = 3
     seed: int = 0
-    chunk: int = 8
+    chunk: int = 4   # backward residuals of one chunk must fit HBM at 512²
     march_steps: int = 24
     shadow_steps: int = 16
 
