@@ -52,6 +52,9 @@ class RenderConfig(NamedTuple):
     fine_steps: int = 6       # fine substeps within the candidate interval
     shadow_fine_steps: int = 2
     fine_factor: int = 2      # fine-pass surface table resolution divisor
+    film_jitter: float = 0.0  # σ (pixels) of primary-sample jitter — the
+    # analog of Mitsuba's in-pixel sampling + Gaussian film filter; the
+    # jittered sample still accumulates into its own pixel
     march_vectorized: bool = False  # exact impl only: step-parallel march
     # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
 
@@ -83,6 +86,14 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
     # path state, (s, n, ...)
     idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
+    if cfg.film_jitter > 0.0:
+        kj = jax.random.fold_in(key, 991)
+        off = jax.random.normal(kj, (s, n, 2)) * cfg.film_jitter
+        du = jnp.round(off[..., 0]).astype(jnp.int32)
+        dv = jnp.round(off[..., 1]).astype(jnp.int32)
+        uu = jnp.clip(idx % w + du, 0, w - 1)
+        vv = jnp.clip(idx // w + dv, 0, h - 1)
+        idx = vv * w + uu
     wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
     alive = jnp.broadcast_to(gbuf.valid.reshape(n), (s, n))
     throughput = jnp.ones((s, n, 3), jnp.float32)
