@@ -100,11 +100,20 @@ def lookup_bilinear(envmap, d):
 
 
 def build_sampler(envmap) -> EnvmapSampler:
-    """Build sin-weighted luminance CDFs (role of envmap_utils.py:43-66)."""
+    """Build sin-weighted luminance CDFs (role of envmap_utils.py:43-66).
+
+    Defensive sampling: the per-texel weight is floored at 1% of the mean
+    so near-black texels never get ~0 pdf — the bilinear radiance estimate
+    can be nonzero where the sampled texel is black, and le/pdf would
+    otherwise produce unbounded estimates whose gradients NaN the envmap
+    net (observed during on-device inverse runs). The pdf stays exactly
+    consistent with these tables, so the estimator remains unbiased.
+    """
     h, w = envmap.shape[0], envmap.shape[1]
     rows01 = (jnp.arange(h, dtype=envmap.dtype) + 0.5) / h
     sin_theta = jnp.sin(PI * rows01)[:, None]
-    lum_sin = luminance(envmap) * sin_theta + 1e-12
+    lum_sin = luminance(envmap) * sin_theta
+    lum_sin = jnp.maximum(lum_sin, 0.01 * jnp.mean(lum_sin) + 1e-12)
 
     c_sum = jnp.cumsum(lum_sin, axis=1)
     row_tot = c_sum[:, -1:]

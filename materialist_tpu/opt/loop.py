@@ -289,7 +289,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         if loop_num == 1:
             opt = schedules.adam_steplr(1e-3)
         else:
-            opt = optax.adam(1e-4)
+            opt = schedules.adam_plain(1e-4)
         env_step = make_env_step(opt)
         opt_state = opt.init(env_params)
         patience = 500 if opts.opt_src == "skip" else 100
