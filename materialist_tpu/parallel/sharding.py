@@ -87,7 +87,7 @@ def _trace_chunk_rows(key, cfg, cam, local_gbuf, dist_full, valid_full,
     s = cfg.chunk
     sg = jax.lax.stop_gradient
 
-    eval_fn, sample_fn = bsdf_mod.disney(mats)
+    gather_fn, eval_fn, sample_fn = bsdf_mod.disney(mats)
     env_sampler = em.build_sampler(envmap)
     n_flat = mats.normal.reshape(n_full, 3)
     pos_local = local_gbuf.position.reshape(n_loc, 3)
@@ -125,11 +125,13 @@ def _trace_chunk_rows(key, cfg, cam, local_gbuf, dist_full, valid_full,
         nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
                                                 keepdims=True), 1e-9)
 
+        blob = gather_fn(idx)
+
         if cfg.nee:
             u_nee = jax.random.uniform(k_nee, (s, n_loc, 2))
             wi_e, pdf_e, le = em.sample(env_sampler, u_nee)
             wi_e, pdf_e = sg(wi_e), sg(pdf_e)
-            f_e, pdf_b_at_e = eval_fn(idx, wi_e, wo, nrm)
+            f_e, pdf_b_at_e = eval_fn(blob, idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             shadowed = ss.occluded(cam, dist_full, valid_full, sg(pos),
                                    wi_e, n_steps=cfg.shadow_steps)
@@ -139,7 +141,7 @@ def _trace_chunk_rows(key, cfg, cam, local_gbuf, dist_full, valid_full,
 
         u1 = jax.random.uniform(k_lobe, (s, n_loc))
         u2 = jax.random.uniform(k_uv, (s, n_loc, 2))
-        wi, pdf_b, weight = sample_fn(u1, u2, idx, wo, nrm)
+        wi, pdf_b, weight = sample_fn(blob, idx, u1, u2, wo, nrm)
         wi = sg(wi)
         hit = jax.tree.map(sg, ss.march(cam, dist_full, valid_full,
                                         sg(pos), wi,
