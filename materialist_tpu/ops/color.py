@@ -12,8 +12,13 @@ def srgb_to_linear(img):
 
 
 def linear_to_srgb(img):
-    """Pure gamma-1/2.2 transfer (misc.py:167-169)."""
-    return jnp.maximum(img, 0.0) ** (1.0 / 2.2)
+    """Pure gamma-1/2.2 transfer (misc.py:167-169).
+
+    Floored at 1e-8: d(x^(1/2.2))/dx → ∞ at x=0, and MC renders contain
+    exact zeros (fully shadowed pixels), which otherwise NaNs the whole
+    gradient. Value shift at true zeros is 2e-4 — far below MC noise.
+    """
+    return jnp.maximum(img, 1e-8) ** (1.0 / 2.2)
 
 
 def luminance(rgb):
