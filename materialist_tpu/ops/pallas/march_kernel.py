@@ -63,7 +63,7 @@ def _lookup(planes_ref, n_planes, flat_idx_1x128):
 
 
 def _make_kernel(*, h, w, focal, cx, cy, n_steps, fine_steps, ratio,
-                 bias_frac, rows, fine_planes, shadow_only):
+                 bias_frac, interval_frac, rows, fine_planes, shadow_only):
     mip_f = _mip_factor(h, w)
     fine_f = _fine_factor(h, w)
     mw = w // mip_f
@@ -138,6 +138,8 @@ def _make_kernel(*, h, w, focal, cx, cy, n_steps, fine_steps, ratio,
             hit = jnp.zeros((1, 128), jnp.bool_)
             t_hit = tc1
             idx_hit = jnp.zeros((1, 128), jnp.int32)
+            excess_hit = jnp.zeros((1, 128), jnp.float32)
+            local_hit = jnp.ones((1, 128), jnp.float32)
             for s in range(2):
                 lo_t = tb1 if s == 0 else tb2
                 hi_t = (tc1 if s == 0 else tc2) * ratio
@@ -160,8 +162,17 @@ def _make_kernel(*, h, w, focal, cx, cy, n_steps, fine_steps, ratio,
                         + jnp.clip(ui, 0, w - 1)
                     t_hit = jnp.where(crossing, t, t_hit)
                     idx_hit = jnp.where(crossing, full_idx, idx_hit)
+                    excess_hit = jnp.where(
+                        crossing, ray_d - surf * (1.0 + bias_frac),
+                        excess_hit)
+                    local_hit = jnp.where(crossing, ray_d, local_hit)
                     hit = hit | crossing
 
+            # thickness heuristic (matches march/march_mip,
+            # screenspace.py:359-362): a crossing far behind the local
+            # surface is a silhouette pass-through, not a hit
+            thin = excess_hit < interval_frac * jnp.maximum(local_hit, 1e-6)
+            hit = hit & thin
             hit_ref[g:g + 1, :] = hit.astype(jnp.float32)
             idx_ref[g:g + 1, :] = idx_hit
             t_ref[g:g + 1, :] = t_hit
@@ -172,11 +183,13 @@ def _make_kernel(*, h, w, focal, cx, cy, n_steps, fine_steps, ratio,
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "n_steps", "fine_steps", "rows", "shadow_only",
-                     "t_min_frac", "t_max_frac", "bias_frac"))
+                     "t_min_frac", "t_max_frac", "bias_frac",
+                     "interval_frac"))
 def _march_fused_tpu(cam: Camera, mip, fine, t_lo, origin, direction,
                      n_steps: int, fine_steps: int, rows: int,
                      shadow_only: bool, t_min_frac: float,
-                     t_max_frac: float, bias_frac: float):
+                     t_max_frac: float, bias_frac: float,
+                     interval_frac: float):
     h, w = cam.height, cam.width
     ratio = (t_max_frac / t_min_frac) ** (1.0 / max(n_steps - 1, 1))
 
@@ -207,7 +220,8 @@ def _march_fused_tpu(cam: Camera, mip, fine, t_lo, origin, direction,
 
     kern = _make_kernel(h=h, w=w, focal=cam.focal, cx=cam.cx, cy=cam.cy,
                         n_steps=n_steps, fine_steps=fine_steps,
-                        ratio=ratio, bias_frac=bias_frac, rows=rows,
+                        ratio=ratio, bias_frac=bias_frac,
+                        interval_frac=interval_frac, rows=rows,
                         fine_planes=fine_planes, shadow_only=shadow_only)
     out_shapes = (
         jax.ShapeDtypeStruct((n_tiles, rows, 128), jnp.float32),
@@ -243,8 +257,8 @@ def _march_fused_tpu(cam: Camera, mip, fine, t_lo, origin, direction,
 def march_fused(cam: Camera, dist_map, valid_map, origin, direction,
                 n_steps: int = 16, fine_steps: int = 6,
                 t_min_frac: float = 2e-3, t_max_frac: float = 3.0,
-                bias_frac: float = 4e-3, rows: int = 32,
-                shadow_only: bool = False) -> Hit:
+                bias_frac: float = 4e-3, interval_frac: float = 2.0,
+                rows: int = 32, shadow_only: bool = False) -> Hit:
     """Drop-in fused replacement for screenspace.march_mip (TPU only;
     falls back to march_mip off-TPU). Run under stop_gradient."""
     from materialist_tpu.render import screenspace as ss
@@ -259,6 +273,7 @@ def march_fused(cam: Camera, dist_map, valid_map, origin, direction,
                             direction, n_steps=n_steps,
                             fine_steps=fine_steps, t_min_frac=t_min_frac,
                             t_max_frac=t_max_frac, bias_frac=bias_frac,
+                            interval_frac=interval_frac,
                             mip_factor=mip_f, shadow_only=shadow_only,
                             fine_table=fine, fine_factor=fine_f)
 
@@ -273,6 +288,7 @@ def march_fused(cam: Camera, dist_map, valid_map, origin, direction,
     d = direction.reshape(-1, 3)
     hit, idx, t = _march_fused_tpu(cam, mip, fine, t_lo, o, d,
                                    n_steps, fine_steps, rows, shadow_only,
-                                   t_min_frac, t_max_frac, bias_frac)
+                                   t_min_frac, t_max_frac, bias_frac,
+                                   interval_frac)
     return Hit(hit=hit.reshape(shape), idx=idx.reshape(shape),
                t=t.reshape(shape), exited=~hit.reshape(shape))

@@ -60,13 +60,18 @@ class InverseOptions:
     chunk: int = 4   # backward residuals of one chunk must fit HBM at 512²
     march_steps: int = 24
     shadow_steps: int = 16
+    march_impl: str = "fused"       # fused | mip | exact (RenderConfig)
+    march_vectorized: bool = False  # exact impl: step-parallel (fast CPU
+    #                                 compile) vs statically unrolled (TPU)
 
 
 def _render_cfg(opts: InverseOptions) -> RenderConfig:
     return RenderConfig(spp=opts.spp, chunk=min(opts.chunk, opts.spp),
                         use_mesh_normal=opts.use_mesh_normal,
                         march_steps=opts.march_steps,
-                        shadow_steps=opts.shadow_steps)
+                        shadow_steps=opts.shadow_steps,
+                        march_impl=opts.march_impl,
+                        march_vectorized=opts.march_vectorized)
 
 
 def _apply_mask_constraint(r, m, mask):
@@ -162,18 +167,33 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             return p, opt_state, loss, mse, env, img
         return step
 
-    def material_maps_mlp(p):
+    def material_maps_mlp(p, cur, part):
+        """Net-predicted maps for the channels in `part`; all other channels
+        stay frozen at the current best (stop-gradient), mirroring the
+        reference's per-part assignment (inverse_img_w_mi.py:495-505) — the
+        albedo head must not receive render-loss gradients during 'rm'."""
         out = brdf_net.apply({"params": p}, start_arm)
-        albedo = jnp.clip(out[..., 0:3], 0, 1).reshape(h, w, 3)
-        rough = jnp.clip(out[..., 3:4] * 0.93 + 0.07, 0, 1).reshape(h, w, 1)
-        metal = jnp.clip(out[..., 4:5], 0, 1).reshape(h, w, 1)
-        if opts.output_type == "armn":
+        sg = jax.lax.stop_gradient
+        if "a" in part:
+            albedo = jnp.clip(out[..., 0:3], 0, 1).reshape(h, w, 3)
+        else:
+            albedo = sg(cur["albedo"])
+        if "r" in part:
+            rough = jnp.clip(out[..., 3:4] * 0.93 + 0.07,
+                             0, 1).reshape(h, w, 1)
+        else:
+            rough = sg(cur["roughness"])
+        if "m" in part:
+            metal = jnp.clip(out[..., 4:5], 0, 1).reshape(h, w, 1)
+        else:
+            metal = sg(cur["metallic"])
+        if opts.output_type == "armn" and "n" in part:
             nrm = out[..., 5:8]
             nrm = (nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
                                                      keepdims=True), 1e-9)
                    ).reshape(h, w, 3)
         else:
-            nrm = normal_ori
+            nrm = sg(cur["normal"])
         return albedo, rough, metal, nrm
 
     def mat_loss(maps, part, envmap, k):
@@ -202,16 +222,18 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         return loss, (mse, render_loss, aux, mats, pred)
 
     def make_mlp_step(opt, part):
-        def loss_fn(p, envmap, k):
-            return mat_loss(material_maps_mlp(p), part, envmap, k)
+        def loss_fn(p, cur, envmap, k):
+            return mat_loss(material_maps_mlp(p, cur, part), part, envmap, k)
 
         @jax.jit
-        def step(p, opt_state, envmap, k):
+        def step(p, opt_state, cur, envmap, k):
             (loss, auxes), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, envmap, k)
+                loss_fn, has_aux=True)(p, cur, envmap, k)
             updates, opt_state = opt.update(grads, opt_state, p)
-            p = optax.apply_updates(p, updates)
-            return p, opt_state, loss, auxes
+            p_new = optax.apply_updates(p, updates)
+            # p (pre-update) matches the returned loss/maps — SaveBest must
+            # record it, not p_new (one step stale otherwise)
+            return p_new, opt_state, loss, auxes, p
         return step
 
     def make_direct_step(opt, part):
@@ -403,17 +425,19 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 opt = schedules.adamw_steplr(3e-4, floor=1.5e-4)
                 step = make_mlp_step(opt, part)
                 opt_state = opt.init(brdf_params)
+                cur = {k2: mat[k2] for k2 in
+                       ("albedo", "roughness", "metallic", "normal")}
                 for epoch in range(opts.num_epochs):
                     k = jax.random.fold_in(
                         key, loop_num * 1000000 + 500000 + epoch)
-                    brdf_params, opt_state, loss, auxes = step(
-                        brdf_params, opt_state, env4render, k)
+                    brdf_params, opt_state, loss, auxes, params_pre = step(
+                        brdf_params, opt_state, cur, env4render, k)
                     mse, render_loss, aux, mats_cur, pred = auxes
                     mse_val = float(mse)
                     saver.update(mse_val, mats_cur.albedo,
                                  mats_cur.roughness, mats_cur.metallic,
                                  mats_cur.normal, env4render, pred,
-                                 net_params=brdf_params)
+                                 net_params=params_pre)
                     early(mse_val)
                     if epoch % 50 == 0 or early.early_stop:
                         print(f"[mat-mlp {loop_num}/{part}] epoch {epoch} "
@@ -427,10 +451,15 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                         print("Early stopping", flush=True)
                         break
 
-            # restore best (inverse_img_w_mi.py:460-463,583-588)
+            # restore best (inverse_img_w_mi.py:460-463,583-588): both the
+            # maps and — in the MLP path — the argmin network weights, so
+            # subsequent phases resume from the best state rather than the
+            # last post-early-stop one
             for k2 in ("albedo", "roughness", "metallic", "normal"):
                 if saver.best[k2] is not None:
                     mat[k2] = saver.best[k2]
+            if opts.model_name != "none" and saver.best_net_params is not None:
+                brdf_params = saver.best_net_params
             saver.save_results(os.path.join(output_dir, "best_results"))
 
     if env_frames:

@@ -4,7 +4,8 @@ Two shardings, composable on a 2-D ("px", "spp") mesh:
 
 * sample ("spp") sharding — each chip traces spp/D samples with a folded
   key and the per-pixel radiance is psum-mean'd over ICI. Gradients of the
-  replicated materials/envmap all-reduce automatically through the mean.
+  replicated materials/envmap are explicitly pmean'd before the optimizer
+  update (each shard's grad only carries its local samples' contribution).
 * pixel-row ("px") sharding — the per-pixel ray state (G-buffer rows,
   output tile) is split across chips while the *depth map* and materials
   stay replicated, because secondary rays march anywhere in the film.
@@ -18,7 +19,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from materialist_tpu.camera import Camera
 from materialist_tpu.ops.color import linear_to_srgb
@@ -42,7 +43,7 @@ def spp_sharded_render(mesh: Mesh, cfg: RenderConfig, cam: Camera,
 
     return jax.jit(shard_map(local_render, mesh=mesh,
                              in_specs=(P(), P(), P(), P()),
-                             out_specs=P(), check_rep=False))
+                             out_specs=P(), check_vma=False))
 
 
 def px_sharded_render(mesh: Mesh, cfg: RenderConfig, cam: Camera,
@@ -69,7 +70,7 @@ def px_sharded_render(mesh: Mesh, cfg: RenderConfig, cam: Camera,
         local_render, mesh=mesh,
         in_specs=(P(), GBuffer(P(axis), P(axis), P(axis), P(axis), P(axis)),
                   P(), P(), P(), P()),
-        out_specs=P(axis), check_rep=False))
+        out_specs=P(axis), check_vma=False))
 
 
 def _trace_chunk_rows(key, cfg, cam, local_gbuf, dist_full, valid_full,
@@ -87,7 +88,8 @@ def _trace_chunk_rows(key, cfg, cam, local_gbuf, dist_full, valid_full,
     s = cfg.chunk
     sg = jax.lax.stop_gradient
 
-    gather_fn, eval_fn, sample_fn = bsdf_mod.disney(mats)
+    _bsdf = bsdf_mod.disney(mats)
+    gather_fn, eval_fn, sample_fn = _bsdf.gather, _bsdf.eval, _bsdf.sample
     env_sampler = em.build_sampler(envmap)
     n_flat = mats.normal.reshape(n_full, 3)
     pos_local = local_gbuf.position.reshape(n_loc, 3)
@@ -188,7 +190,12 @@ def make_sharded_train_step(mesh: Mesh, cfg: RenderConfig, cam: Camera,
     def local_step(params, opt_state, key, gbuf, gt_srgb):
         loss, grads = jax.value_and_grad(local_loss)(params, key, gbuf,
                                                      gt_srgb)
-        # identical on all shards after pmean; update is replicated
+        # Each shard's grad carries only its local MC samples' contribution
+        # (pmean's transpose replicates the cotangent; it does not sum the
+        # per-shard pieces), so all-reduce explicitly before the update to
+        # keep params/opt_state bitwise identical across chips.
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
         import optax
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -196,5 +203,5 @@ def make_sharded_train_step(mesh: Mesh, cfg: RenderConfig, cam: Camera,
 
     sharded = shard_map(local_step, mesh=mesh,
                         in_specs=(P(), P(), P(), P(), P()),
-                        out_specs=(P(), P(), P()), check_rep=False)
+                        out_specs=(P(), P(), P()), check_vma=False)
     return jax.jit(sharded)

@@ -530,6 +530,10 @@ static bool parse_header(Reader& r, Header& h, std::string& err) {
     if (name.empty()) break;
     std::string type = r.cstr();
     uint32_t size = r.u32();
+    if (!r.ok || size > (size_t)(r.end - r.p)) {
+      err = "truncated attribute";
+      return false;
+    }
     const uint8_t* val = r.p;
     if (name == "channels" && type == "chlist") {
       Reader cr{val, val + size};
@@ -545,6 +549,10 @@ static bool parse_header(Reader& r, Header& h, std::string& err) {
         h.channels.push_back(c);
       }
     } else if (name == "compression" && type == "compression") {
+      if (size < 1) {
+        err = "bad compression attribute";
+        return false;
+      }
       h.compression = val[0];
     } else if (name == "dataWindow" && type == "box2i") {
       Reader br{val, val + size};
@@ -553,6 +561,10 @@ static bool parse_header(Reader& r, Header& h, std::string& err) {
       h.dw_x1 = br.i32();
       h.dw_y1 = br.i32();
     } else if (name == "lineOrder" && type == "lineOrder") {
+      if (size < 1) {
+        err = "bad lineOrder attribute";
+        return false;
+      }
       h.line_order = val[0];
     }
     r.skip(size);
@@ -773,6 +785,12 @@ int exr_read(const char* path, float** out, int* w, int* h, int* c,
     bool ok = true;
     switch (hdr.compression) {
       case 0:  // NONE
+        // `packed` is bounds-checked against the buffer above; the copy
+        // must not exceed it (a truncated file would heap-over-read)
+        if ((size_t)packed != rawsize) {
+          ok = false;
+          break;
+        }
         rawbuf.assign(cr.p, cr.p + rawsize);
         break;
       case 1:  // RLE

@@ -30,7 +30,7 @@ def synthetic():
         metallic=jnp.full((h, w, 1), 0.1),
         normal=gbuf.normal_geo)
     cfg = RenderConfig(spp=32, chunk=8, march_steps=8, shadow_steps=8,
-                       fine_steps=4, shadow_fine_steps=2)
+                       march_impl="exact", march_vectorized=True)
     gt = render(jax.random.PRNGKey(42), cfg, cam, gbuf, true_mats, env)
     return cam, gbuf, true_mats, env, gt
 
@@ -45,7 +45,8 @@ def test_envmap_phase_converges(synthetic, tmp_path):
            "gt_image": gt}
     opts = InverseOptions(opt_src="skip", opt_order=("skip",), spp=8,
                           chunk=8, num_epochs=40, frame_every=0,
-                          march_steps=8, shadow_steps=8)
+                          march_steps=8, shadow_steps=8,
+                          march_impl="exact", march_vectorized=True)
     best = optimize(gbuf, cam, mat, str(tmp_path), opts)
     env_rec = np.asarray(best["envmap"])
     # top hemisphere brighter than bottom, like the GT
@@ -70,7 +71,8 @@ def test_material_phase_improves_albedo(synthetic, tmp_path):
     opts = InverseOptions(opt_src="a", opt_order=("a",),
                           model_name="none", spp=8, chunk=8,
                           num_epochs=30, frame_every=0, max_loops=3,
-                          march_steps=8, shadow_steps=8)
+                          march_steps=8, shadow_steps=8,
+                          march_impl="exact", march_vectorized=True)
     best = optimize(gbuf, cam, mat, str(tmp_path), opts)
     err1 = float(jnp.abs(jnp.asarray(best["albedo"])
                          - true_mats.albedo).mean())
