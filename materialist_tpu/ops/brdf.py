@@ -158,6 +158,15 @@ def sample_ggx(u2, roughness, wo, normal):
     return normalize(wi)
 
 
+def sample_dirs(u1, u2, wo, normal, roughness):
+    """50/50 lobe-mixture sampled direction only (no BSDF values) — the
+    decision half of sample_brdf, used by the non-differentiable trace
+    pass of the path-replay estimator."""
+    wi_d = sample_diffuse(u2, normal)
+    wi_s = sample_ggx(u2, roughness, wo, normal)
+    return jnp.where((u1 > 0.5)[..., None], wi_d, wi_s)
+
+
 def sample_brdf(u1, u2, wo, normal, albedo, roughness, metallic):
     """50/50 lobe-mixture BRDF sampling (mi_plugin.py:1296-1341).
 
@@ -165,10 +174,7 @@ def sample_brdf(u1, u2, wo, normal, albedo, roughness, metallic):
     (stop_gradient) so gradients flow through the BRDF numerator only —
     the detached-sampling estimator the reference uses (mi_plugin.py:366).
     """
-    wi_d = sample_diffuse(u2, normal)
-    wi_s = sample_ggx(u2, roughness, wo, normal)
-    pick_diffuse = (u1 > 0.5)[..., None]
-    wi = jnp.where(pick_diffuse, wi_d, wi_s)
+    wi = sample_dirs(u1, u2, wo, normal, roughness)
     brdf, pdf = eval_brdf(wi, wo, normal, albedo, roughness, metallic)
     pdf_det = jax.lax.stop_gradient(pdf)
     weight = brdf / (pdf_det + 1e-6)

@@ -4,16 +4,25 @@ The reference's BSDF plugin hierarchy (MatDiffBSDF / TransBSDF /
 MatrefractBSDF, myutils/mi_plugin.py) becomes closure factories. TPU
 detail: material fetches are packed into ONE row-gather per bounce (an
 (N, 8) row gather costs the same as (N, 2) on TPU, while separate scalar
-gathers cost ~8 ns/element each), so the protocol is:
+gathers cost ~8 ns/element each), so the protocol is a BSDF NamedTuple of
+closures:
 
-    gather_fn(idx)                  -> blob (..., K)  one row-gather
-    eval_fn(blob, idx, wi, wo, n)   -> (brdf (...,3), pdf (...,1))
-    sample_fn(blob, idx, u1,u2,wo,n)-> (wi, pdf, weight)
+    gather(idx)                   -> blob (..., K)  one row-gather
+    eval(blob, idx, wi, wo, n)    -> (brdf (...,3), pdf (...,1))
+    sample(blob, idx, u1,u2,wo,n) -> (wi, pdf, weight)
+    sample_dirs(blob, u1,u2,wo,n) -> wi  (decision only — used by the
+        non-differentiable trace pass, which needs directions to march
+        but no BSDF values)
+    weight(f, pdf)                -> throughput weight for a lobe sample
+        (each BSDF's own epsilon/NaN policy, so the shade replay
+        reproduces sample()'s weight exactly)
 
 Both the NEE eval and the lobe-sample eval reuse the same blob.
 """
 
 from __future__ import annotations
+
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -23,6 +32,19 @@ from materialist_tpu.ops import brdf as B
 from materialist_tpu.render.scene import Materials
 
 PI = 3.141592653589793
+
+
+class BSDF(NamedTuple):
+    gather: Callable
+    eval: Callable
+    sample: Callable
+    sample_dirs: Callable
+    weight: Callable
+    # packed (N, K) per-pixel table behind `gather`. At the primary bounce
+    # (no film jitter) the gather is the identity map, so the shader uses
+    # the table directly: the backward pass then sees a broadcast (whose
+    # adjoint is a cheap sum over samples) instead of a full scatter-add.
+    table: jnp.ndarray = None
 
 
 def _pack(mats: Materials):
@@ -54,7 +76,18 @@ def disney(mats: Materials):
         a, r, m, _ = _unpack(blob)
         return B.sample_brdf(u1, u2, wo, normal, a, r, m)
 
-    return gather_fn, eval_fn, sample_fn
+    def sample_dirs_fn(blob, u1, u2, wo, normal):
+        _, r, _, _ = _unpack(blob)
+        return B.sample_dirs(u1, u2, wo, normal, r)
+
+    def weight_fn(f, pdf):
+        pdf_det = jax.lax.stop_gradient(pdf)
+        w = f / (pdf_det + 1e-6)
+        w = jnp.where(pdf_det > 1e-6, w, 0.0)
+        return jnp.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0)
+
+    return BSDF(gather_fn, eval_fn, sample_fn, sample_dirs_fn, weight_fn,
+                table)
 
 
 def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
@@ -166,15 +199,22 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
         pdf = jnp.maximum(pdf, 0.0)
         return jnp.nan_to_num(bsdf), jnp.nan_to_num(pdf)
 
-    def sample_fn(blob, idx, u1, u2, wo, normal):
+    def sample_dirs_fn(blob, u1, u2, wo, normal):
         # lobe selection identical to the base plugin (mi_plugin.py:1602-1607)
         _, rough, _, _ = _unpack(blob)
         wi_d = B.sample_diffuse(u2, normal)
         wi_s = B.sample_ggx(u2, rough, wo, normal)
-        wi = jnp.where((u1 > 0.5)[..., None], wi_d, wi_s)
+        return jnp.where((u1 > 0.5)[..., None], wi_d, wi_s)
+
+    def weight_fn(f, pdf):
+        pdf = jax.lax.stop_gradient(pdf)
+        return jnp.nan_to_num(jnp.where(pdf > 1e-6, f / (pdf + 1e-4), 0.0))
+
+    def sample_fn(blob, idx, u1, u2, wo, normal):
+        wi = sample_dirs_fn(blob, u1, u2, wo, normal)
         f, pdf = eval_fn(blob, idx, wi, wo, normal)
         pdf = jax.lax.stop_gradient(pdf)
-        weight = jnp.where(pdf > 1e-6, f / (pdf + 1e-4), 0.0)
-        return wi, pdf, jnp.nan_to_num(weight)
+        return wi, pdf, weight_fn(f, pdf)
 
-    return gather_fn, eval_fn, sample_fn
+    return BSDF(gather_fn, eval_fn, sample_fn, sample_dirs_fn, weight_fn,
+                table)

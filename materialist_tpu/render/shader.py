@@ -59,55 +59,8 @@ class RenderConfig(NamedTuple):
     # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
 
 
-def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
-                 mats: Materials, envmap, bsdf=None):
-    """Trace cfg.chunk samples for every pixel. Returns (H, W, 3) mean.
-
-    ``bsdf``: optional (eval_fn, sample_fn) pair from render/bsdf.py;
-    defaults to the Disney material BSDF built from ``mats``.
-    """
-    h, w = gbuf.dist.shape
-    n = h * w
-    s = cfg.chunk
-
-    if bsdf is None:
-        from materialist_tpu.render import bsdf as bsdf_mod
-        bsdf = bsdf_mod.disney(mats)
-    gather_fn, eval_fn, sample_fn = bsdf
-
-    env_sampler = em.build_sampler(envmap)
-    # packed (stop-grad) geometry table: one row-gather per bounce
-    # fetches position + geometric normal together
-    geo_table = jnp.concatenate(
-        [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
-        axis=-1)
-
-    sg = jax.lax.stop_gradient
-
-    # path state, (s, n, ...)
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
-    if cfg.film_jitter > 0.0:
-        kj = jax.random.fold_in(key, 991)
-        off = jax.random.normal(kj, (s, n, 2)) * cfg.film_jitter
-        du = jnp.round(off[..., 0]).astype(jnp.int32)
-        dv = jnp.round(off[..., 1]).astype(jnp.int32)
-        uu = jnp.clip(idx % w + du, 0, w - 1)
-        vv = jnp.clip(idx // w + dv, 0, h - 1)
-        idx = vv * w + uu
-    wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
-    alive = jnp.broadcast_to(gbuf.valid.reshape(n), (s, n))
-    throughput = jnp.ones((s, n, 3), jnp.float32)
-    radiance = jnp.zeros((s, n, 3), jnp.float32)
-
-    if cfg.sky_background:
-        view_dir = -gbuf.wo.reshape(n, 3)
-        sky = em.lookup_bilinear(envmap, view_dir)
-        radiance = radiance + jnp.where(
-            gbuf.valid.reshape(1, n, 1), 0.0, sky[None])
-
-    dist_map = sg(gbuf.dist)
-    valid_map = gbuf.valid
-
+def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
+    """March/occlusion closures for the configured implementation."""
     if cfg.march_impl == "fused":
         from materialist_tpu.ops.pallas.march_kernel import march_fused
 
@@ -152,14 +105,76 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             return ss.occluded(cam, dist_map, valid_map, pos_, wi_,
                                n_steps=cfg.shadow_steps,
                                vectorized=cfg.march_vectorized)
+    return do_march, do_occlude
 
+
+def _primary_idx(key, cfg: RenderConfig, h: int, w: int, s: int):
+    """Initial per-sample pixel index, with optional film jitter.
+
+    The jitter key/fold structure must match between the trace and shade
+    passes — both call this with the same chunk key."""
+    n = h * w
+    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
+    if cfg.film_jitter > 0.0:
+        kj = jax.random.fold_in(key, 991)
+        off = jax.random.normal(kj, (s, n, 2)) * cfg.film_jitter
+        du = jnp.round(off[..., 0]).astype(jnp.int32)
+        dv = jnp.round(off[..., 1]).astype(jnp.int32)
+        uu = jnp.clip(idx % w + du, 0, w - 1)
+        vv = jnp.clip(idx // w + dv, 0, h - 1)
+        idx = vv * w + uu
+    return idx
+
+
+def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                       mats: Materials, envmap, bsdf=None):
+    """Decision pass of the path-replay estimator: sample all stochastic
+    choices and resolve visibility (the expensive marches), returning only
+    integer/bool records per bounce — (shadowed, hit, idx). No BSDF or
+    emitter *values* are computed, and nothing here is differentiable
+    (records are int/bool ⇒ AD sees no tape at all), so the backward pass
+    never re-runs a march.
+
+    This is the detached-sampling decomposition of the reference's
+    estimator (pdf/dirs detached, mi_plugin.py:366) taken to its TPU-
+    natural conclusion: Dr.Jit's megakernel interleaves trace+shade and
+    re-traces in the adjoint; here geometry is resolved once per step.
+    """
+    h, w = gbuf.dist.shape
+    n = h * w
+    s = cfg.chunk
+
+    if bsdf is None:
+        from materialist_tpu.render import bsdf as bsdf_mod
+        bsdf = bsdf_mod.disney(mats)
+
+    sg = jax.lax.stop_gradient
+    env_sampler = em.build_sampler(sg(envmap))
+    geo_table = sg(jnp.concatenate(
+        [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
+        axis=-1))
+    dist_map = sg(gbuf.dist)
+    do_march, do_occlude = _make_march_fns(cfg, cam, dist_map, gbuf.valid)
+
+    idx = _primary_idx(key, cfg, h, w, s)
+    wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
+    identity0 = cfg.film_jitter == 0.0 and bsdf.table is not None
+
+    records = []
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
 
-        blob = gather_fn(idx)          # one differentiable row-gather
-        geo = sg(geo_table[idx])       # one geometry row-gather (no grad)
-        pos = geo[..., 0:3]
+        if b == 0 and identity0:
+            # primary bounce: the gather is the identity map — use the
+            # (N, K) tables directly and let broadcasting add the sample
+            # axis (no gather, and in the shade pass no scatter adjoint)
+            blob = sg(bsdf.table)
+            geo = geo_table
+        else:
+            blob = sg(bsdf.gather(idx))
+            geo = geo_table[idx]
+        pos = jnp.broadcast_to(geo[..., 0:3], (s, n, 3))
         if cfg.use_mesh_normal:
             nrm = geo[..., 3:6]
         else:
@@ -167,24 +182,95 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             nrm = nm / jnp.maximum(
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
-        # ---- NEE: envmap importance sample + shadow march + MIS
+        if cfg.nee:
+            u_nee = jax.random.uniform(k_nee, (s, n, 2))
+            wi_e, _ = em.sample_dir(env_sampler, u_nee)
+            shadowed = do_occlude(pos, wi_e)
+        else:
+            shadowed = jnp.zeros((s, n), bool)
+
+        u1 = jax.random.uniform(k_lobe, (s, n, 1))
+        u2 = jax.random.uniform(k_uv, (s, n, 2))
+        wi = sg(bsdf.sample_dirs(blob, u1[..., 0], u2, wo, nrm))
+        hit = do_march(pos, wi)
+
+        records.append((shadowed, hit.hit, hit.idx))
+        idx = hit.idx
+        wo = -wi
+    return tuple(records)
+
+
+def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
+                 gbuf: GBuffer, mats: Materials, envmap, bsdf=None):
+    """Replay pass: recompute the (identical, same-key) sampling decisions
+    and evaluate the differentiable radiance using the trace records for
+    all visibility. Everything expensive for AD lives here; the whole
+    function is cheap to recompute, so it sits under jax.checkpoint."""
+    h, w = gbuf.dist.shape
+    n = h * w
+    s = cfg.chunk
+
+    if bsdf is None:
+        from materialist_tpu.render import bsdf as bsdf_mod
+        bsdf = bsdf_mod.disney(mats)
+
+    sg = jax.lax.stop_gradient
+    env_sampler = em.build_sampler(envmap)
+    geo_table = sg(jnp.concatenate(
+        [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
+        axis=-1))
+
+    idx = _primary_idx(key, cfg, h, w, s)
+    wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
+    alive = jnp.broadcast_to(gbuf.valid.reshape(n), (s, n))
+    throughput = jnp.ones((s, n, 3), jnp.float32)
+    radiance = jnp.zeros((s, n, 3), jnp.float32)
+
+    if cfg.sky_background:
+        view_dir = -gbuf.wo.reshape(n, 3)
+        sky = em.lookup_bilinear(envmap, view_dir)
+        radiance = radiance + jnp.where(
+            gbuf.valid.reshape(1, n, 1), 0.0, sky[None])
+
+    identity0 = cfg.film_jitter == 0.0 and bsdf.table is not None
+    for b in range(cfg.max_depth - 1):
+        kb = jax.random.fold_in(key, b)
+        k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
+        shadowed, hit_ok, hit_idx = records[b]
+
+        if b == 0 and identity0:
+            # identity gather at the primary bounce: adjoint is a sum over
+            # the sample axis (broadcast transpose), not a scatter-add
+            blob = bsdf.table
+            geo = geo_table
+        else:
+            blob = bsdf.gather(idx)    # one differentiable row-gather
+            geo = geo_table[idx]
+        if cfg.use_mesh_normal:
+            nrm = geo[..., 3:6]
+        else:
+            nm = blob[..., 5:8]
+            nrm = nm / jnp.maximum(
+                jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
+
+        # ---- NEE: envmap importance sample + recorded shadow + MIS
         if cfg.nee:
             u_nee = jax.random.uniform(k_nee, (s, n, 2))
             wi_e, pdf_e, le = em.sample(env_sampler, u_nee)
             wi_e, pdf_e = sg(wi_e), sg(pdf_e)
-            f_e, pdf_b_at_e = eval_fn(blob, idx, wi_e, wo, nrm)
+            f_e, pdf_b_at_e = bsdf.eval(blob, idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
-            shadowed = do_occlude(sg(pos), wi_e)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
             gate = (alive & ~shadowed)[..., None]
             radiance = radiance + jnp.where(gate, contrib, 0.0)
 
-        # ---- BSDF sampling: continue the path / hit the envmap
+        # ---- BSDF lobe: same decisions as the trace pass (same keys)
         u1 = jax.random.uniform(k_lobe, (s, n, 1))
         u2 = jax.random.uniform(k_uv, (s, n, 2))
-        wi, pdf_b, weight = sample_fn(blob, idx, u1[..., 0], u2, wo, nrm)
-        wi = sg(wi)
-        hit = jax.tree.map(sg, do_march(sg(pos), wi))
+        wi = sg(bsdf.sample_dirs(sg(blob), u1[..., 0], u2, wo, nrm))
+        f_b, pdf_b = bsdf.eval(blob, idx, wi, wo, nrm)
+        pdf_b = sg(pdf_b)
+        weight = bsdf.weight(f_b, pdf_b)
 
         le_miss = em.lookup_bilinear(envmap, wi)
         if cfg.nee:
@@ -192,14 +278,14 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             w_mis_b = pdf_b / (pdf_b + pdf_e_at_wi + 1e-9)
         else:
             w_mis_b = 1.0
-        miss_gate = (alive & ~hit.hit)[..., None]
+        miss_gate = (alive & ~hit_ok)[..., None]
         radiance = radiance + jnp.where(
             miss_gate, throughput * weight * w_mis_b * le_miss, 0.0)
 
         # advance the path (snap to the hit pixel's G-buffer position)
         throughput = throughput * weight
-        alive = alive & hit.hit
-        idx = hit.idx
+        alive = alive & hit_ok
+        idx = hit_idx
         wo = -wi
 
     img = jnp.mean(radiance, axis=0)  # mean over the chunk's samples
@@ -209,20 +295,29 @@ def _trace_chunk(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
 def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                      mats: Materials, envmap, bsdf=None):
-    """Render with an arbitrary BSDF closure pair (render/bsdf.py)."""
+    """Render with an arbitrary BSDF closure set (render/bsdf.py).
+
+    Path-replay structure: per chunk, a non-differentiable trace resolves
+    all visibility (records are int/bool), then a checkpointed shade
+    computes the differentiable radiance. The backward pass recomputes
+    only the shade — marches run exactly once per step.
+    """
     n_chunks = max(cfg.spp // cfg.chunk, 1)
     keys = jax.random.split(key, n_chunks)
 
-    body = jax.checkpoint(
-        lambda k: _trace_chunk(k, cfg, cam, gbuf, mats, envmap, bsdf))
+    shade = jax.checkpoint(
+        lambda k, recs: _shade_chunk(k, recs, cfg, cam, gbuf, mats,
+                                     envmap, bsdf))
 
     # Unrolled accumulation: a lax.scan whose body contains gathers pays a
     # large per-iteration dispatch cost on TPU; checkpointing per chunk
-    # still bounds backward memory to one chunk.
+    # still bounds backward memory to one chunk's shade intermediates.
     h, w = gbuf.dist.shape
     total = jnp.zeros((h, w, 3), jnp.float32)
     for i in range(n_chunks):
-        total = total + body(keys[i])
+        recs = _trace_chunk_paths(keys[i], cfg, cam, gbuf, mats, envmap,
+                                  bsdf)
+        total = total + shade(keys[i], recs)
     return total / n_chunks
 
 
