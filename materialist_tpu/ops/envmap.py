@@ -37,6 +37,26 @@ class EnvmapSampler(NamedTuple):
     m_pdf: jnp.ndarray   # (H,)  per-row marginal prob mass
 
 
+class FlatEnvmapSampler(NamedTuple):
+    """Large-emitter sampler: one flat CDF over all H·W texels, inverted by
+    binary search (jnp.searchsorted ⇒ O(log HW) gathers/sample) instead of
+    the one-hot contractions that are only viable for tiny maps. Used for
+    relighting with full-resolution HDRs (e.g. the reference's 512×1024
+    envmaps/41.hdr, render_final.py:241-260)."""
+    envmap: jnp.ndarray   # (H, W, 3)
+    cdf: jnp.ndarray      # (H·W,) normalized inclusive CDF
+    pmass: jnp.ndarray    # (H, W) per-texel probability mass
+
+
+# one-hot contractions cost O(axis) per lookup — only a win for tiny maps
+# (the 16×32 optimized emitter); larger maps take the gather path
+SMALL_ENV_AXIS = 64
+
+
+def _is_small(h: int, w: int) -> bool:
+    return h <= SMALL_ENV_AXIS and w <= SMALL_ENV_AXIS
+
+
 def dir_to_uv(d, height: int, width: int):
     """Direction (..., 3) → continuous texel coords (u, v)."""
     phi = jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * PI)
@@ -71,13 +91,17 @@ def lookup_nearest(envmap, d):
     u, v = dir_to_uv(d, h, w)
     ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    if not _is_small(h, w):
+        return envmap.reshape(h * w, 3)[vi * w + ui]
     rows = jnp.einsum("...h,hwc->...wc", _onehot(vi, h), envmap)
     return jnp.einsum("...wc,...w->...c", rows, _onehot(ui, w))
 
 
 def lookup_bilinear(envmap, d):
     """Bilinear radiance fetch with φ-wrap / θ-clamp (Mitsuba emitter
-    eval), gather-free (see _onehot)."""
+    eval). Gather-free one-hot contractions for small maps (differentiable
+    with a transposed-matmul adjoint, no scatter); flat gathers for large
+    relighting emitters."""
     h, w = envmap.shape[0], envmap.shape[1]
     u, v = dir_to_uv(d, h, w)
     uf = u - 0.5
@@ -90,6 +114,16 @@ def lookup_bilinear(envmap, d):
     u1i = jnp.mod(u0i + 1, w)
     v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
     v1i = jnp.clip(v0i + 1, 0, h - 1)
+
+    if not _is_small(h, w):
+        flat = envmap.reshape(h * w, 3)
+        t00 = flat[v0i * w + u0i]
+        t01 = flat[v0i * w + u1i]
+        t10 = flat[v1i * w + u0i]
+        t11 = flat[v1i * w + u1i]
+        top = t00 * (1.0 - du) + t01 * du
+        bot = t10 * (1.0 - du) + t11 * du
+        return top * (1.0 - dv) + bot * dv
 
     uoh = _onehot(u0i, w) * (1.0 - du) + _onehot(u1i, w) * du
     voh0 = _onehot(v0i, h)
@@ -115,6 +149,12 @@ def build_sampler(envmap) -> EnvmapSampler:
     lum_sin = luminance(envmap) * sin_theta
     lum_sin = jnp.maximum(lum_sin, 0.01 * jnp.mean(lum_sin) + 1e-12)
 
+    if not _is_small(h, w):
+        flat = lum_sin.reshape(-1)
+        cdf = jnp.cumsum(flat)
+        total = cdf[-1]
+        return FlatEnvmapSampler(envmap, cdf / total, lum_sin / total)
+
     c_sum = jnp.cumsum(lum_sin, axis=1)
     row_tot = c_sum[:, -1:]
     c_cdf = c_sum / row_tot
@@ -133,7 +173,15 @@ def _interp_cdf(cdf_val_at, cdf_val_prev, x):
     return jnp.clip((x - cdf_val_prev) / denom, 0.0, 1.0)
 
 
-def sample(sampler: EnvmapSampler, u2):
+def sample_dir(sampler: EnvmapSampler, u2):
+    """Decision half of ``sample``: (wi, pdf) without the radiance lookup
+    (used by the non-differentiable trace pass — the shadow march needs
+    the direction, not the emitter value)."""
+    wi, pdf, _ = sample(sampler, u2, with_radiance=False)
+    return wi, pdf
+
+
+def sample(sampler: EnvmapSampler, u2, with_radiance: bool = True):
     """Inverse-CDF envmap sample (envmap_utils.py:139-169, corrected dirs).
 
     Args:
@@ -141,8 +189,11 @@ def sample(sampler: EnvmapSampler, u2):
         u2: (..., 2) uniforms.
     Returns:
         wi: (..., 3) direction; pdf: (..., 1) solid-angle density;
-        radiance: (..., 3) bilinear emitter radiance along wi.
+        radiance: (..., 3) bilinear emitter radiance along wi (None when
+        ``with_radiance=False``).
     """
+    if isinstance(sampler, FlatEnvmapSampler):
+        return _sample_flat(sampler, u2, with_radiance)
     env, c_cdf, m_cdf, c_pdf, m_pdf = sampler
     h, w = env.shape[0], env.shape[1]
     x0, x1 = u2[..., 0], u2[..., 1]
@@ -182,23 +233,53 @@ def sample(sampler: EnvmapSampler, u2):
     sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
     pdf = jax.lax.stop_gradient(
         (h * w) * (pdf_c * pdf_m) / (2.0 * PI * PI * sin_theta))
-    radiance = lookup_bilinear(env, wi)
+    radiance = lookup_bilinear(env, wi) if with_radiance else None
     return wi, pdf[..., None], radiance
 
 
-def pdf_dir(sampler: EnvmapSampler, d):
+def _sample_flat(sampler: FlatEnvmapSampler, u2, with_radiance: bool):
+    """Inverse of the flat H·W CDF by binary search; the CDF-bin fraction
+    supplies the in-texel u offset, the second uniform the v offset."""
+    env, cdf, pmass = sampler
+    h, w = env.shape[0], env.shape[1]
+    x0, x1 = u2[..., 0], u2[..., 1]
+
+    i = jnp.clip(jnp.searchsorted(cdf, x0, side="left"), 0, h * w - 1)
+    at = cdf[i]
+    prev = jnp.where(i > 0, cdf[jnp.maximum(i - 1, 0)], 0.0)
+    du = _interp_cdf(at, prev, x0)
+    vi = i // w
+    ui = i - vi * w
+    u = ui.astype(env.dtype) + du
+    v = vi.astype(env.dtype) + x1
+
+    theta = v * PI / h
+    wi = jax.lax.stop_gradient(uv_to_dir(u, v, h, w))
+    sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
+    pm = pmass.reshape(-1)[i]
+    pdf = jax.lax.stop_gradient(
+        (h * w) * pm / (2.0 * PI * PI * sin_theta))
+    radiance = lookup_bilinear(env, wi) if with_radiance else None
+    return wi, pdf[..., None], radiance
+
+
+def pdf_dir(sampler, d):
     """Density of ``sample`` at an arbitrary direction (for MIS weights)."""
     env = sampler.envmap
     h, w = env.shape[0], env.shape[1]
     u, v = dir_to_uv(d, h, w)
     ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+    sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
+    if isinstance(sampler, FlatEnvmapSampler):
+        pm = sampler.pmass.reshape(-1)[vi * w + ui]
+        pdf = (h * w) * pm / (2.0 * PI * PI * sin_theta)
+        return pdf[..., None]
     voh = _onehot(vi, h)
     cp = jnp.sum(jnp.einsum("...h,hw->...w", voh, sampler.c_pdf)
                  * _onehot(ui, w), -1)
     mp = voh @ sampler.m_pdf
-    theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
-    sin_theta = jnp.maximum(jnp.sin(theta), 1e-6)
     pdf = (h * w) * (cp * mp) / (2.0 * PI * PI * sin_theta)
     return pdf[..., None]
 

@@ -68,3 +68,61 @@ def test_rotate_matches_numpy_roll():
     out = em.rotate(jnp.asarray(env), 90.0)
     ref = np.roll(env, 8, axis=1)
     np.testing.assert_allclose(np.asarray(out), ref)
+
+
+def test_lookup_paths_agree(monkeypatch):
+    """The gather (large-map) lookup path must match the one-hot path."""
+    env = jax.random.uniform(jax.random.PRNGKey(7), (16, 32, 3))
+    d = jax.random.normal(jax.random.PRNGKey(8), (500, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    small = em.lookup_bilinear(env, d)
+    near_small = em.lookup_nearest(env, d)
+    monkeypatch.setattr(em, "SMALL_ENV_AXIS", 1)  # force gather path
+    large = em.lookup_bilinear(env, d)
+    near_large = em.lookup_nearest(env, d)
+    np.testing.assert_allclose(np.asarray(small), np.asarray(large),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(near_small),
+                               np.asarray(near_large), atol=1e-5)
+
+
+def test_flat_sampler_estimates_integral():
+    """Large-emitter flat-CDF sampler: MC ∫ L dω ≈ quadrature (the 512×1024
+    relighting path, render_final.py:241-260)."""
+    key = jax.random.PRNGKey(9)
+    h, w = 128, 256
+    env = jax.random.uniform(key, (h, w, 3)) * jnp.array([1.0, 2.0, 0.5]) \
+        + 0.1
+    sampler = em.build_sampler(env)
+    assert isinstance(sampler, em.FlatEnvmapSampler)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 1), (400_000, 2))
+    wi, pdf, rad = em.sample(sampler, u2)
+    est = np.asarray((rad / pdf).mean(axis=0))
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    weights = np.sin(theta)[:, None] * (np.pi / h) * (2 * np.pi / w)
+    ref = (np.asarray(env) * weights[..., None]).sum(axis=(0, 1))
+    np.testing.assert_allclose(est, ref, rtol=0.05)
+
+
+def test_flat_sampler_pdf_consistency():
+    """pdf_dir ≈ sample's pdf except at texel boundaries, where the
+    in-texel jitter can quantize into the neighboring row (the same edge
+    exists in the reference sampler; harmless for MIS)."""
+    key = jax.random.PRNGKey(10)
+    env = jax.random.uniform(key, (128, 256, 3)) + 0.05
+    sampler = em.build_sampler(env)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 1), (4096, 2))
+    wi, pdf, _ = em.sample(sampler, u2)
+    pdf2 = em.pdf_dir(sampler, wi)
+    rel = np.abs(np.asarray(pdf) - np.asarray(pdf2)) / np.asarray(pdf)
+    assert (rel > 0.3).mean() < 0.005
+
+
+def test_flat_pdf_dir_integrates_to_one():
+    key = jax.random.PRNGKey(11)
+    env = jax.random.uniform(key, (128, 256, 3)) + 0.2
+    sampler = em.build_sampler(env)
+    d = jax.random.normal(jax.random.fold_in(key, 1), (400_000, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    est = float(em.pdf_dir(sampler, d).mean() * 4 * np.pi)
+    assert abs(est - 1.0) < 0.05
