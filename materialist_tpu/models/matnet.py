@@ -48,7 +48,9 @@ class MatNetInference:
         self.net = MaterialNet()
         if params is None:
             params = load_matnet_params(weights_path)
-        self.params = params
+        # device arrays, not numpy leaves: numpy constants embedded in the
+        # jitted forward reject traced indices (pos-embed interpolation)
+        self.params = jax.tree.map(jnp.asarray, params)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _forward(self, x):

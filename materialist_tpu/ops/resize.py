@@ -48,6 +48,7 @@ def _cubic_kernel(t, a=-0.75):
 def bicubic_scale(img, scale_hw):
     """Torch-style bicubic (align_corners=False, no antialias) by scale
     factor, for pos-embed interpolation. img (H, W, C)."""
+    img = jnp.asarray(img)  # numpy-leaf params would reject traced indices
     h, w, _ = img.shape
     sy, sx = scale_hw
     th, tw = int(h * sy), int(w * sx)
