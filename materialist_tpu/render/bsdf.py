@@ -45,6 +45,33 @@ class BSDF(NamedTuple):
     # the table directly: the backward pass then sees a broadcast (whose
     # adjoint is a cheap sum over samples) instead of a full scatter-add.
     table: jnp.ndarray = None
+    # gather_reuse(idx, primal) — differentiable gather whose forward is
+    # free: the trace pass already fetched the rows (primal); only the
+    # scatter-add adjoint into `table` remains. Row gathers measure
+    # ~13 ns/row on TPU inside real graphs, so skipping the shade-side
+    # re-fetch (forward AND its checkpoint recompute) is a major win.
+    gather_reuse: Callable = None
+
+
+@jax.custom_vjp
+def _reuse_gather(table, idx, primal):
+    return primal
+
+
+def _reuse_gather_fwd(table, idx, primal):
+    # the table itself rides along as a residual only for shape/dtype
+    # (it is a live param reference, not a copy)
+    return primal, (idx, table)
+
+
+def _reuse_gather_bwd(res, cot):
+    idx, table = res
+    g = jnp.zeros_like(table).at[idx.reshape(-1)].add(
+        cot.reshape(-1, table.shape[-1]).astype(table.dtype))
+    return (g, None, None)
+
+
+_reuse_gather.defvjp(_reuse_gather_fwd, _reuse_gather_bwd)
 
 
 def _pack(mats: Materials):
@@ -87,7 +114,7 @@ def disney(mats: Materials):
         return jnp.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0)
 
     return BSDF(gather_fn, eval_fn, sample_fn, sample_dirs_fn, weight_fn,
-                table)
+                table, lambda idx, primal: _reuse_gather(table, idx, primal))
 
 
 def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
@@ -217,4 +244,4 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
         return wi, pdf, weight_fn(f, pdf)
 
     return BSDF(gather_fn, eval_fn, sample_fn, sample_dirs_fn, weight_fn,
-                table)
+                table, lambda idx, primal: _reuse_gather(table, idx, primal))

@@ -126,19 +126,35 @@ def _primary_idx(key, cfg: RenderConfig, h: int, w: int, s: int):
     return idx
 
 
+def _pos_from_idx(cam: Camera, idx, dist):
+    """World position of pixel `idx` at view distance `dist` — pure math,
+    replacing a 3-channel position gather (only the 1-channel dist needs
+    fetching)."""
+    w = cam.width
+    uu = (idx % w).astype(jnp.float32) + 0.5
+    vv = (idx // w).astype(jnp.float32) + 0.5
+    x = (uu - cam.cx) / cam.focal
+    y = -(vv - cam.cy) / cam.focal
+    d = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
+    return d * dist[..., None]
+
+
 def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                        mats: Materials, envmap, bsdf=None):
     """Decision pass of the path-replay estimator: sample all stochastic
-    choices and resolve visibility (the expensive marches), returning only
-    integer/bool records per bounce — (shadowed, hit, idx). No BSDF or
-    emitter *values* are computed, and nothing here is differentiable
-    (records are int/bool ⇒ AD sees no tape at all), so the backward pass
-    never re-runs a march.
+    choices and resolve visibility (the expensive marches). Returns per
+    bounce (shadowed, hit, idx, blob16, nrm16): the visibility records
+    plus the bf16 material/normal rows fetched at the path vertices — the
+    shade pass replays them through a free-forward custom-VJP gather, so
+    the step performs each row-gather exactly ONCE (the step is gather-
+    bound: ~13 ns/row × 4M rows × several tables per bounce otherwise).
 
-    This is the detached-sampling decomposition of the reference's
-    estimator (pdf/dirs detached, mi_plugin.py:366) taken to its TPU-
-    natural conclusion: Dr.Jit's megakernel interleaves trace+shade and
-    re-traces in the adjoint; here geometry is resolved once per step.
+    Nothing here is differentiable, so the backward pass never re-runs a
+    march or a gather. This is the detached-sampling decomposition of the
+    reference's estimator (pdf/dirs detached, mi_plugin.py:366) taken to
+    its TPU-natural conclusion: Dr.Jit's megakernel interleaves
+    trace+shade and re-traces in the adjoint; here geometry is resolved
+    once per step.
     """
     h, w = gbuf.dist.shape
     n = h * w
@@ -150,9 +166,14 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
     sg = jax.lax.stop_gradient
     env_sampler = em.build_sampler(sg(envmap))
-    geo_table = sg(jnp.concatenate(
-        [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
-        axis=-1))
+    dist_flat = sg(gbuf.dist.reshape(n))
+    nrm_geo_flat = sg(gbuf.normal_geo.reshape(n, 3))
+    # ONE stop-grad side table so each bounce needs a single row-gather:
+    # [bsdf blob (K) | dist (1) | geometric normal (3)]
+    k_blob = bsdf.table.shape[-1] if bsdf.table is not None else None
+    if k_blob is not None:
+        combo = jnp.concatenate(
+            [sg(bsdf.table), dist_flat[:, None], nrm_geo_flat], axis=-1)
     dist_map = sg(gbuf.dist)
     do_march, do_occlude = _make_march_fns(cfg, cam, dist_map, gbuf.valid)
 
@@ -170,13 +191,26 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             # (N, K) tables directly and let broadcasting add the sample
             # axis (no gather, and in the shade pass no scatter adjoint)
             blob = sg(bsdf.table)
-            geo = geo_table
+            nrm_geo = nrm_geo_flat
+            pos = jnp.broadcast_to(gbuf.position.reshape(n, 3), (s, n, 3))
+            rec_blob = None
+            rec_nrm = None
+        elif k_blob is not None:
+            fetched = combo[idx]
+            blob = fetched[..., :k_blob]
+            pos = _pos_from_idx(cam, idx, fetched[..., k_blob])
+            nrm_geo = fetched[..., k_blob + 1:k_blob + 4]
+            rec_blob = blob.astype(jnp.bfloat16)
+            rec_nrm = (nrm_geo.astype(jnp.bfloat16)
+                       if cfg.use_mesh_normal else None)
         else:
             blob = sg(bsdf.gather(idx))
-            geo = geo_table[idx]
-        pos = jnp.broadcast_to(geo[..., 0:3], (s, n, 3))
+            pos = _pos_from_idx(cam, idx, dist_flat[idx])
+            nrm_geo = nrm_geo_flat[idx]
+            rec_blob = None
+            rec_nrm = None
         if cfg.use_mesh_normal:
-            nrm = geo[..., 3:6]
+            nrm = nrm_geo
         else:
             nm = blob[..., 5:8]
             nrm = nm / jnp.maximum(
@@ -194,7 +228,7 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         wi = sg(bsdf.sample_dirs(blob, u1[..., 0], u2, wo, nrm))
         hit = do_march(pos, wi)
 
-        records.append((shadowed, hit.hit, hit.idx))
+        records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm))
         idx = hit.idx
         wo = -wi
     return tuple(records)
@@ -236,18 +270,24 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
-        shadowed, hit_ok, hit_idx = records[b]
+        shadowed, hit_ok, hit_idx, rec_blob, rec_nrm = records[b]
 
         if b == 0 and identity0:
             # identity gather at the primary bounce: adjoint is a sum over
             # the sample axis (broadcast transpose), not a scatter-add
             blob = bsdf.table
-            geo = geo_table
+            nrm_geo = geo_table[..., 3:6]
+        elif rec_blob is not None and bsdf.gather_reuse is not None:
+            # rows already fetched by the trace pass: free forward,
+            # scatter-add adjoint into the material table
+            blob = bsdf.gather_reuse(idx, rec_blob.astype(jnp.float32))
+            nrm_geo = (rec_nrm.astype(jnp.float32)
+                       if rec_nrm is not None else None)
         else:
             blob = bsdf.gather(idx)    # one differentiable row-gather
-            geo = geo_table[idx]
+            nrm_geo = geo_table[idx][..., 3:6]
         if cfg.use_mesh_normal:
-            nrm = geo[..., 3:6]
+            nrm = nrm_geo
         else:
             nm = blob[..., 5:8]
             nrm = nm / jnp.maximum(
