@@ -24,7 +24,6 @@ def main():
     from materialist_tpu.camera import Camera
     from materialist_tpu.io import exr
     from materialist_tpu.ops.color import linear_to_srgb
-    from materialist_tpu.ops.resize import resize_bilinear
     from materialist_tpu.render.scene import (Materials, load_best_results,
                                               make_gbuffer)
     from materialist_tpu.render.shader import RenderConfig, render
