@@ -27,13 +27,17 @@ from materialist_tpu.render.shader import RenderConfig, render, \
 
 def render_averaged(gbuf: GBuffer, cam: Camera, mats: Materials, envmap,
                     n_iter: int = 10, spp: int = 64, denoise: bool = True,
-                    seed: int = 0, bsdf=None, chunk: int = 8) -> np.ndarray:
+                    seed: int = 0, bsdf=None, chunk: int = 8,
+                    film_jitter: float = 0.5) -> np.ndarray:
     """n_iter × (spp render [+ denoise]) averaged (render_final.py:193-197).
 
+    Continuous in-pixel film sampling is on by default (box halfwidth 0.5
+    — the analog of Mitsuba's hdrfilm reconstruction-filter sampling).
     Each pass is a separate jit call so per-execution time stays bounded;
     averaging happens on device, one image transfer at the end.
     """
-    cfg = RenderConfig(spp=spp, chunk=min(chunk, spp))
+    cfg = RenderConfig(spp=spp, chunk=min(chunk, spp),
+                       film_jitter=film_jitter)
     envmap = jnp.asarray(envmap)
 
     if bsdf is None:

@@ -52,9 +52,10 @@ class RenderConfig(NamedTuple):
     fine_steps: int = 6       # fine substeps within the candidate interval
     shadow_fine_steps: int = 2
     fine_factor: int = 2      # fine-pass surface table resolution divisor
-    film_jitter: float = 0.0  # σ (pixels) of primary-sample jitter — the
-    # analog of Mitsuba's in-pixel sampling + Gaussian film filter; the
-    # jittered sample still accumulates into its own pixel
+    film_jitter: float = 0.0  # box-filter halfwidth (pixels, ≤ 0.5) for
+    # continuous in-pixel film sampling with bilinear G-buffer geometry —
+    # the analog of Mitsuba's hdrfilm in-pixel sampling over the
+    # interpolated mesh; 0 renders pixel centers only
     march_vectorized: bool = False  # exact impl only: step-parallel march
     # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
 
@@ -109,21 +110,112 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
 
 
 def _primary_idx(key, cfg: RenderConfig, h: int, w: int, s: int):
-    """Initial per-sample pixel index, with optional film jitter.
-
-    The jitter key/fold structure must match between the trace and shade
-    passes — both call this with the same chunk key."""
+    """Initial per-sample pixel index (no film jitter — the continuous-AA
+    primary state is built by _primary_state)."""
     n = h * w
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
-    if cfg.film_jitter > 0.0:
-        kj = jax.random.fold_in(key, 991)
-        off = jax.random.normal(kj, (s, n, 2)) * cfg.film_jitter
-        du = jnp.round(off[..., 0]).astype(jnp.int32)
-        dv = jnp.round(off[..., 1]).astype(jnp.int32)
-        uu = jnp.clip(idx % w + du, 0, w - 1)
-        vv = jnp.clip(idx // w + dv, 0, h - 1)
-        idx = vv * w + uu
-    return idx
+    return jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (s, n))
+
+
+def _shifted_stack(img_hw_c, h, w):
+    """3×3 edge-clamped shifted copies of an (h, w, C) map, as a dict
+    {(dv, du): (h·w, C)}. Shifted-map selects replace per-sample gathers
+    for film AA: taps of a ±half-pixel-jittered sample live in the 3×3
+    pixel neighborhood, so bilinear/nearest fetches become elementwise
+    masks over these copies — whose adjoint is masked reverse shifts,
+    never a scatter."""
+    out = {}
+    for dv in (-1, 0, 1):
+        for du in (-1, 0, 1):
+            p = jnp.pad(img_hw_c, ((1, 1), (1, 1), (0, 0)), mode="edge")
+            out[(dv, du)] = p[1 + dv:1 + dv + h,
+                              1 + du:1 + du + w].reshape(h * w, -1)
+    return out
+
+
+def _select_shift(stack, dv, du):
+    """Per-sample pick among the 3×3 shifts; dv/du (s, n) int32 ∈ [-1,1]."""
+    acc = None
+    for (sv, su), m in stack.items():
+        mask = ((dv == sv) & (du == su))[..., None]
+        term = jnp.where(mask, m, 0.0)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _primary_state(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                   s: int):
+    """Continuous-AA primary vertex geometry (Mitsuba in-pixel film
+    sampling, box filter of halfwidth cfg.film_jitter ≤ 0.5):
+
+    * sample position cu = u+.5+ju with ju ~ U(-r, r);
+    * view distance + geometric normal bilinearly interpolated at the
+      sample position (validity-weighted, so geometry never blends with
+      masked pixels) — the analog of Mitsuba's barycentric interpolation
+      over the depth-derived mesh;
+    * world position = continuous ray dir × interpolated distance;
+    * materials stay the pixel's own row: the reference gathers at
+      floor(screen) (mi_plugin.py:1378-1381) and floor(u+.5+ju) == u for
+      |ju| < .5 — so the identity-gather optimization survives AA.
+
+    Built entirely from 3×3 shifted map copies (zero gathers; geometry is
+    stop-gradient anyway). Deterministic in `key`: trace and shade
+    recompute identical state. Returns (nrm_geo0, pos0, wo0, valid0).
+    """
+    h, w = gbuf.dist.shape
+    n = h * w
+    r = min(cfg.film_jitter, 0.5)
+    kj = jax.random.fold_in(key, 991)
+    jit = jax.random.uniform(kj, (s, n, 2), minval=-r, maxval=r)
+    ju, jv = jit[..., 0], jit[..., 1]
+
+    base = jnp.arange(n, dtype=jnp.int32)
+    u_pix = (base % w).astype(jnp.float32)
+    v_pix = (base // w).astype(jnp.float32)
+    cu = u_pix + 0.5 + ju      # (s, n) continuous film coords
+    cv = v_pix + 0.5 + jv
+
+    sg = jax.lax.stop_gradient
+    geo_maps = jnp.concatenate(
+        [gbuf.dist[..., None], gbuf.normal_geo,
+         gbuf.valid[..., None].astype(jnp.float32)], axis=-1)
+    geo_stack = {k: sg(v) for k, v in
+                 _shifted_stack(geo_maps, h, w).items()}
+
+    # bilinear taps: texel centers at integer+0.5 ⇒ tap0 = floor(c-0.5);
+    # fu = u + ju ∈ [u-.5, u+.5) so floor(fu) ∈ {u-1, u}
+    fu = cu - 0.5
+    fv = cv - 0.5
+    u0 = jnp.floor(fu)
+    v0 = jnp.floor(fv)
+    wu = (fu - u0)[..., None]
+    wv = (fv - v0)[..., None]
+    du0 = jnp.clip(u0.astype(jnp.int32) - base % w, -1, 0)
+    dv0 = jnp.clip(v0.astype(jnp.int32) - base // w, -1, 0)
+
+    def tap(dv, du, wgt):
+        g = _select_shift(geo_stack, dv, du)
+        ok = g[..., 4:5]
+        return g * (wgt * ok), wgt * ok
+
+    t00, w00 = tap(dv0, du0, (1.0 - wu) * (1.0 - wv))
+    t01, w01 = tap(dv0, du0 + 1, wu * (1.0 - wv))
+    t10, w10 = tap(dv0 + 1, du0, (1.0 - wu) * wv)
+    t11, w11 = tap(dv0 + 1, du0 + 1, wu * wv)
+    wsum = w00 + w01 + w10 + w11
+    geo = (t00 + t01 + t10 + t11) / jnp.maximum(wsum, 1e-9)
+    valid0 = wsum[..., 0] > 1e-6
+    dist = geo[..., 0]
+    nrm_geo = geo[..., 1:4]
+    nrm_geo = nrm_geo / jnp.maximum(
+        jnp.linalg.norm(nrm_geo, axis=-1, keepdims=True), 1e-9)
+
+    x = (cu - cam.cx) / cam.focal
+    y = -(cv - cam.cy) / cam.focal
+    d = jnp.stack([x, y, -jnp.ones_like(x)], axis=-1)
+    pos0 = sg(d * dist[..., None])
+    wo0 = -d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                           1e-9)
+    return sg(nrm_geo), pos0, wo0, valid0
 
 
 def _pos_from_idx(cam: Camera, idx, dist):
@@ -179,14 +271,21 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
     idx = _primary_idx(key, cfg, h, w, s)
     wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
-    identity0 = cfg.film_jitter == 0.0 and bsdf.table is not None
+    identity0 = bsdf.table is not None
 
     records = []
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
 
-        if b == 0 and identity0:
+        if b == 0 and identity0 and cfg.film_jitter > 0.0:
+            # continuous film AA: jittered ray + interpolated geometry;
+            # materials remain the identity row (floor(u+.5±r) == u)
+            nrm_geo, pos, wo, _ = _primary_state(key, cfg, cam, gbuf, s)
+            blob = sg(bsdf.table)
+            rec_blob = None
+            rec_nrm = None
+        elif b == 0 and identity0:
             # primary bounce: the gather is the identity map — use the
             # (N, K) tables directly and let broadcasting add the sample
             # axis (no gather, and in the shade pass no scatter adjoint)
@@ -266,13 +365,19 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         radiance = radiance + jnp.where(
             gbuf.valid.reshape(1, n, 1), 0.0, sky[None])
 
-    identity0 = cfg.film_jitter == 0.0 and bsdf.table is not None
+    identity0 = bsdf.table is not None
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
         shadowed, hit_ok, hit_idx, rec_blob, rec_nrm = records[b]
 
-        if b == 0 and identity0:
+        if b == 0 and identity0 and cfg.film_jitter > 0.0:
+            # continuous film AA (same key as trace ⇒ identical state);
+            # the material adjoint is still the broadcast sample-sum
+            nrm_geo, _, wo, valid0 = _primary_state(key, cfg, cam, gbuf, s)
+            blob = bsdf.table
+            alive = alive & valid0
+        elif b == 0 and identity0:
             # identity gather at the primary bounce: adjoint is a sum over
             # the sample axis (broadcast transpose), not a scatter-add
             blob = bsdf.table
