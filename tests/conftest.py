@@ -8,15 +8,20 @@ lazily, so doing it at conftest import time is safe).
 
 import os
 
+_USE_TPU = os.environ.get("MATERIALIST_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+# MATERIALIST_TPU_TESTS=1 keeps the real backend so `pytest -m tpu` can
+# exercise the fused Pallas kernels on hardware.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -15,6 +15,8 @@ import pytest
 from materialist_tpu.io import exr as exr_io
 from materialist_tpu.io import image as image_io
 
+pytestmark = pytest.mark.slow  # end-to-end CLI runs: ~2 min each on CPU
+
 
 @pytest.fixture()
 def scene_dir(tmp_path, reference_dir):

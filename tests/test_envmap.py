@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from materialist_tpu.ops import envmap as em
 
@@ -36,6 +37,7 @@ def test_sample_pdf_consistency():
     np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), rtol=0.3)
 
 
+@pytest.mark.slow
 def test_sampler_estimates_integral():
     """MC estimate of ∫ L dω with the importance sampler ≈ direct sum."""
     key = jax.random.PRNGKey(2)
@@ -53,6 +55,7 @@ def test_sampler_estimates_integral():
     np.testing.assert_allclose(est, ref, rtol=0.05)
 
 
+@pytest.mark.slow
 def test_pdf_dir_integrates_to_one():
     key = jax.random.PRNGKey(4)
     env = jax.random.uniform(key, (16, 32, 3)) + 0.2
@@ -86,6 +89,7 @@ def test_lookup_paths_agree(monkeypatch):
                                np.asarray(near_large), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flat_sampler_estimates_integral():
     """Large-emitter flat-CDF sampler: MC ∫ L dω ≈ quadrature (the 512×1024
     relighting path, render_final.py:241-260)."""
@@ -118,6 +122,7 @@ def test_flat_sampler_pdf_consistency():
     assert (rel > 0.3).mean() < 0.005
 
 
+@pytest.mark.slow
 def test_flat_pdf_dir_integrates_to_one():
     key = jax.random.PRNGKey(11)
     env = jax.random.uniform(key, (128, 256, 3)) + 0.2

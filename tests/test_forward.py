@@ -2,6 +2,7 @@
 BSDF, rolling relight."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,7 @@ def test_denoiser_reduces_noise():
     assert np.mean((out - clean) ** 2) < 0.5 * np.mean((noisy - clean) ** 2)
 
 
+@pytest.mark.slow
 def test_render_averaged_shape():
     cam, gbuf, mats, env = _scene()
     img = render_averaged(gbuf, cam, mats, env, n_iter=2, spp=4, chunk=4)
@@ -62,6 +64,7 @@ def test_render_averaged_shape():
     assert np.isfinite(img).all() and img.mean() > 0.05
 
 
+@pytest.mark.slow
 def test_transparent_bsdf_render():
     cam, gbuf, mats, env = _scene()
     h, w = 32, 32
@@ -81,6 +84,7 @@ def test_transparent_bsdf_render():
         outside[..., 0].mean() / outside[..., 1].mean() + 0.1
 
 
+@pytest.mark.slow
 def test_transparent_bsdf_ior_effect():
     """Higher ior ⇒ more Fresnel reflection; renders stay finite."""
     cam, gbuf, mats, env = _scene(16, 16)

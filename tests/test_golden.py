@@ -20,6 +20,8 @@ from materialist_tpu.render.scene import (GBuffer, Materials, make_gbuffer,
                                           load_best_results)
 from materialist_tpu.render.shader import RenderConfig, render
 
+pytestmark = pytest.mark.slow  # golden/convergence runs: minutes on CPU
+
 RES = 128
 
 

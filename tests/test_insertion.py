@@ -1,6 +1,7 @@
 """Object-insertion tests: rasterizer correctness + composited render."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from materialist_tpu.camera import Camera
@@ -39,6 +40,7 @@ def test_rasterize_zbuffer_order():
     np.testing.assert_allclose(d1[16, 16], 1.0, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_composite_and_render(tmp_path):
     import jax
     from materialist_tpu.geometry.ply import write_ply

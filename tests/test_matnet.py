@@ -143,6 +143,7 @@ def _synthetic_state_dict():
     return sd
 
 
+@pytest.mark.slow
 def test_converted_params_run_forward():
     """The converted tree must be exactly the shape MaterialNet expects —
     verified by jitting a forward at the checkpoint's native 518² size."""

@@ -14,6 +14,8 @@ from materialist_tpu.opt.loop import InverseOptions, optimize
 from materialist_tpu.render.scene import Materials, make_gbuffer
 from materialist_tpu.render.shader import RenderConfig, render
 
+pytestmark = pytest.mark.slow  # golden/convergence runs: minutes on CPU
+
 
 @pytest.fixture(scope="module")
 def synthetic():

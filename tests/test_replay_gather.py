@@ -2,6 +2,7 @@
 the same image and material gradients as a plain differentiable gather."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,7 @@ def _loss(mats, env, cam, gbuf, cfg, disable_reuse):
     return jnp.mean(img ** 2)
 
 
+@pytest.mark.slow
 def test_reuse_gather_matches_plain_gather():
     cam, gbuf, mats, env = _scene()
     cfg = RenderConfig(spp=4, chunk=2, max_depth=3, march_steps=6,

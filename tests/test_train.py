@@ -2,6 +2,7 @@
 and the MGDataset loader over a synthetic EXR scene tree."""
 
 import os
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ def test_freeze_labels():
     assert as_dict["['depth_head']['output_conv1']['bias']"] == "freeze"
 
 
+@pytest.mark.slow
 def test_train_step_updates_only_unfrozen():
     net = MaterialNet()
     params = net.init(jax.random.PRNGKey(0),
