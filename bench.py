@@ -1,28 +1,34 @@
 """Benchmark: full inverse-optimization step (render fwd + adjoint + Adam)
-on the real indoor fixture at 512²×spp, reported as 1024²-equivalent
-ms/iter against the driver's 5 ms north star (BASELINE.md).
+at the REAL north-star workload — 1024² × 64 spp — on the indoor fixture
+(upsampled ×2, like the reference would run its pipeline at 1024²).
+Measured, not extrapolated (round-1 review requirement).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
 
-Implementation notes for this environment: results are reduced to scalars
-on device (host transfers through the tunnel are ~75 kB/s) and per-call
-work is kept under the ~60 s execution watchdog; spp scales linearly
-(sample-parallel), so the 64-spp cost is measured at a safe spp and
-scaled.
+Environment notes: the device↔host link is slow (fetch scalars only) and
+executions are watchdogged (~60 s) — the step is chunked so no single
+device execution exceeds a few seconds. The persistent compilation cache
+keeps repeat runs fast.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+if os.path.isdir("/root/repo"):
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import jax.numpy as jnp
 import optax
 
-BENCH_SPP = 16           # measured; scaled to the 64-spp reference workload
-REF_SPP = 64
-RES = 512
+RES = int(os.environ.get("BENCH_RES", "1024"))
+SPP = int(os.environ.get("BENCH_SPP", "64"))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 
 
 def main():
@@ -34,51 +40,81 @@ def main():
     from materialist_tpu.render.shader import RenderConfig, render
 
     base = "/root/reference/output_imgs/indoor"
+
+    def rs(x):
+        x = jnp.asarray(x)
+        if x.ndim == 2:
+            x = x[..., None]
+        if x.shape[0] != RES:
+            x = jax.image.resize(x, (RES, RES, x.shape[-1]), "bilinear")
+        return x
+
     try:
         mat = load_best_results(f"{base}/best_results",
                                 roughness_remap=False)
-        depth = exr.read(f"{base}/depthPred.exr")
-        gt = jnp.asarray(exr.read(f"{base}/gt_image.exr"))
+        depth = rs(exr.read(f"{base}/depthPred.exr")[..., :1])
+        gt = rs(exr.read(f"{base}/gt_image.exr"))
+        mats = Materials(rs(mat["albedo"]), rs(mat["roughness"]),
+                         rs(mat["metallic"]), rs(mat["normal"]))
+        envmap = jnp.asarray(mat["envmap"])
     except Exception:
         # fixtures unavailable: synthetic scene of the same shape
         key = jax.random.PRNGKey(0)
         depth = 2 + jax.random.uniform(key, (RES, RES, 1))
-        mat = {
-            "albedo": jnp.full((RES, RES, 3), 0.5),
-            "roughness": jnp.full((RES, RES, 1), 0.5),
-            "metallic": jnp.full((RES, RES, 1), 0.1),
-            "normal": jnp.zeros((RES, RES, 3)),
-            "envmap": jnp.ones((16, 32, 3)),
-        }
+        mats = Materials(jnp.full((RES, RES, 3), 0.5),
+                         jnp.full((RES, RES, 1), 0.5),
+                         jnp.full((RES, RES, 1), 0.1),
+                         jnp.zeros((RES, RES, 3)))
+        envmap = jnp.ones((16, 32, 3))
         gt = jnp.full((RES, RES, 3), 0.3)
 
     cam = Camera(RES, RES)
-    gbuf = make_gbuffer(jnp.asarray(depth), cam, flip_depth=True)
-    mats = Materials(jnp.asarray(mat["albedo"]),
-                     jnp.asarray(mat["roughness"]),
-                     jnp.asarray(mat["metallic"]),
-                     jnp.asarray(mat["normal"]))
-    envmap = jnp.asarray(mat["envmap"])
+    gbuf = make_gbuffer(depth[..., 0], cam, flip_depth=True)
     gt_srgb = linear_to_srgb(gt)
 
-    # chunk=4 keeps backward-pass residual memory ~1 GB (the adjoint of one
-    # chunk holds ~100 (chunk, N, 3) arrays; chunk 16 OOMs 16 GB HBM)
-    cfg = RenderConfig(spp=BENCH_SPP, chunk=4)
+    groups = int(os.environ.get("BENCH_GROUPS", "4" if RES >= 1024
+                                else "1"))
+    cfg = RenderConfig(spp=SPP // groups, chunk=min(CHUNK, SPP // groups),
+                       replay_blob=os.environ.get("BENCH_REPLAY",
+                                                  "1") == "1")
     optimizer = optax.adam(3e-4)
     params = {"mats": mats, "envmap": envmap}
     opt_state = optimizer.init(params)
 
-    def loss_fn(p, key):
-        img = render(key, cfg, cam, gbuf, p["mats"], p["envmap"])
+    def loss_of_img(img):
         pred = linear_to_srgb(img)
         return jnp.mean((pred - gt_srgb) ** 2) + jnp.mean(
             jnp.abs(pred - gt_srgb))
 
     @jax.jit
-    def step(p, s, key):
-        loss, grads = jax.value_and_grad(loss_fn)(p, key)
+    def apply_updates(p, s, grads):
         updates, s = optimizer.update(grads, s, p)
-        return optax.apply_updates(p, updates), s, loss
+        return optax.apply_updates(p, updates), s
+
+    if groups > 1:
+        # exact host-level gradient accumulation: a single-jit step at
+        # 1024²×64spp exceeds HBM no matter the chunking (see opt/accum.py)
+        from materialist_tpu.opt.accum import make_accum_value_and_grad
+
+        def render_fn(p, key):
+            return render(key, cfg, cam, gbuf, p["mats"], p["envmap"])
+
+        vg = make_accum_value_and_grad(render_fn, loss_of_img, groups)
+
+        def step(p, s, key):
+            loss, grads = vg(p, key)
+            p, s = apply_updates(p, s, grads)
+            return p, s, loss
+    else:
+        def loss_fn(p, key):
+            return loss_of_img(render(key, cfg, cam, gbuf, p["mats"],
+                                      p["envmap"]))
+
+        @jax.jit
+        def step(p, s, key):
+            loss, grads = jax.value_and_grad(loss_fn)(p, key)
+            pp, ss = apply_updates(p, s, grads)
+            return pp, ss, loss
 
     # warm up / compile
     params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(0))
@@ -89,17 +125,15 @@ def main():
     for i in range(n_iter):
         params, opt_state, loss = step(params, opt_state,
                                        jax.random.PRNGKey(i + 1))
-    float(loss)  # sync
-    ms_measured = (time.time() - t0) / n_iter * 1000.0
+    float(loss)  # forces completion (block_until_ready does not block
+    #              through this environment's device tunnel)
+    ms = (time.time() - t0) / n_iter * 1000.0
 
-    # scale to the reference workload (64 spp) and the 1024² north star
-    ms_512_64spp = ms_measured * (REF_SPP / BENCH_SPP)
-    ms_1024_equiv = ms_512_64spp * 4.0
     result = {
-        "metric": "inverse_opt_ms_per_iter_1024sq_equiv_64spp",
-        "value": round(ms_1024_equiv, 2),
+        "metric": f"inverse_opt_ms_per_iter_{RES}sq_{SPP}spp_measured",
+        "value": round(ms, 2),
         "unit": "ms",
-        "vs_baseline": round(5.0 / ms_1024_equiv, 5),
+        "vs_baseline": round(5.0 / ms, 5),
     }
     print(json.dumps(result))
     return result

@@ -76,13 +76,15 @@ def uv_to_dir(u, v, height: int, width: int):
 
 
 def _onehot(idx, size):
-    """(…,) int32 → (…, size) f32 one-hot. For the 16/32-sized envmap axes
+    """(…,) int32 → (…, size) bf16 one-hot. For the 16/32-sized envmap axes
     this turns every table access into a small matmul/select-reduce: TPU's
     general gather is ~8 ns/element and its scatter adjoint is worse, while
     one-hot contractions ride the MXU *and* differentiate to transposed
-    matmuls (no scatter at all)."""
+    matmuls (no scatter at all). bf16: one-hots are exact in bf16, and the
+    (…, 32) tensors are the largest HBM buffers of the whole inverse step
+    (1 GB each at 1024²×chunk 8 in f32 — the 1024² OOM driver)."""
     rng = jnp.arange(size, dtype=jnp.int32)
-    return (idx[..., None] == rng).astype(jnp.float32)
+    return (idx[..., None] == rng).astype(jnp.bfloat16)
 
 
 def lookup_nearest(envmap, d):
@@ -93,8 +95,11 @@ def lookup_nearest(envmap, d):
     vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
     if not _is_small(h, w):
         return envmap.reshape(h * w, 3)[vi * w + ui]
-    rows = jnp.einsum("...h,hwc->...wc", _onehot(vi, h), envmap)
-    return jnp.einsum("...wc,...w->...c", rows, _onehot(ui, w))
+    rows = jnp.einsum("...h,hwc->...wc", _onehot(vi, h),
+                      envmap.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.bfloat16)
+    return jnp.einsum("...wc,...w->...c", rows, _onehot(ui, w),
+                      preferred_element_type=jnp.float32)
 
 
 def lookup_bilinear(envmap, d):
@@ -125,12 +130,57 @@ def lookup_bilinear(envmap, d):
         bot = t10 * (1.0 - du) + t11 * du
         return top * (1.0 - dv) + bot * dv
 
-    uoh = _onehot(u0i, w) * (1.0 - du) + _onehot(u1i, w) * du
-    voh0 = _onehot(v0i, h)
-    voh1 = _onehot(v1i, h)
-    rows = jnp.einsum("...h,hwc->...wc",
-                      voh0 * (1.0 - dv) + voh1 * dv, envmap)
-    return jnp.einsum("...wc,...w->...c", rows, uoh)
+    return _lookup_bilinear_small(envmap, u0i, u1i, v0i, v1i, du, dv)
+
+
+@jax.custom_vjp
+def _lookup_bilinear_small(envmap, u0i, u1i, v0i, v1i, du, dv):
+    """One-hot bilinear fetch for tiny maps with a scatter backward.
+
+    Forward: bf16 one-hot contractions (the (…, W) weighted one-hots are
+    the dominant HBM buffers at high res — bf16 one-hots are exact, only
+    the ~2^-8-quantized bilinear weights ride along). Backward: 4 weighted
+    scatter-adds into the (tiny) emitter — the naive einsum transpose
+    materializes f32 (…, W[,C]) cotangent intermediates (1 GB each at
+    1024²×chunk 8; they OOM'd the north-star workload).
+
+    No gradient flows to the direction (du/dv/indices) — all call sites
+    pass detached directions (detached-sampling estimator).
+    """
+    h, w = envmap.shape[0], envmap.shape[1]
+    du16 = du.astype(jnp.bfloat16)
+    dv16 = dv.astype(jnp.bfloat16)
+    one = jnp.bfloat16(1.0)
+    uoh = _onehot(u0i, w) * (one - du16) + _onehot(u1i, w) * du16
+    voh = _onehot(v0i, h) * (one - dv16) + _onehot(v1i, h) * dv16
+    rows = jnp.einsum("...h,hwc->...wc", voh,
+                      envmap.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.bfloat16)
+    return jnp.einsum("...wc,...w->...c", rows, uoh,
+                      preferred_element_type=jnp.float32)
+
+
+def _lookup_bilinear_small_fwd(envmap, u0i, u1i, v0i, v1i, du, dv):
+    out = _lookup_bilinear_small(envmap, u0i, u1i, v0i, v1i, du, dv)
+    return out, (envmap, u0i, u1i, v0i, v1i, du, dv)
+
+
+def _lookup_bilinear_small_bwd(res, cot):
+    envmap, u0i, u1i, v0i, v1i, du, dv = res
+    h, w = envmap.shape[0], envmap.shape[1]
+    c = envmap.shape[2]
+    g = jnp.zeros((h * w, c), envmap.dtype)
+    for vi, ui, wt in ((v0i, u0i, (1 - du) * (1 - dv)),
+                       (v0i, u1i, du * (1 - dv)),
+                       (v1i, u0i, (1 - du) * dv),
+                       (v1i, u1i, du * dv)):
+        g = g.at[(vi * w + ui).reshape(-1)].add(
+            (wt * cot).reshape(-1, c))
+    return (g.reshape(envmap.shape), None, None, None, None, None, None)
+
+
+_lookup_bilinear_small.defvjp(_lookup_bilinear_small_fwd,
+                              _lookup_bilinear_small_bwd)
 
 
 def build_sampler(envmap) -> EnvmapSampler:

@@ -58,6 +58,24 @@ class RenderConfig(NamedTuple):
     # interpolated mesh; 0 renders pixel centers only
     march_vectorized: bool = False  # exact impl only: step-parallel march
     # (fast CPU compile, large intermediates) vs statically unrolled (TPU)
+    replay_blob: bool = True  # record trace-fetched bf16 material rows for
+    # the shade pass (fast: zero shade-side gathers; ~22 B/path-vertex of
+    # HBM). Disable at high res × high spp where records outgrow HBM —
+    # the shade then re-gathers (slower, memory-light).
+    march_grazing_cos: float = 0.105  # exclude near-grazing pixels
+    # (|cos(view, normal)| below this) from the march GEOMETRY — the
+    # analog of the reference's boundary-triangle removal at minAngle 6°
+    # (mesh_recon.py:126-156): stretched depth columns at occlusion edges
+    # are not real surfaces and must not occlude. sin(6°) ≈ 0.105.
+
+
+def _march_valid(cfg: RenderConfig, gbuf: GBuffer):
+    """March-geometry validity: scene validity minus near-grazing pixels
+    (reference analog: boundary triangles removed before meshing)."""
+    if cfg.march_grazing_cos <= 0.0:
+        return gbuf.valid
+    cos_v = jnp.abs(jnp.sum(gbuf.normal_geo * gbuf.wo, axis=-1))
+    return gbuf.valid & (cos_v > cfg.march_grazing_cos)
 
 
 def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
@@ -267,7 +285,8 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         combo = jnp.concatenate(
             [sg(bsdf.table), dist_flat[:, None], nrm_geo_flat], axis=-1)
     dist_map = sg(gbuf.dist)
-    do_march, do_occlude = _make_march_fns(cfg, cam, dist_map, gbuf.valid)
+    do_march, do_occlude = _make_march_fns(cfg, cam, dist_map,
+                                           _march_valid(cfg, gbuf))
 
     idx = _primary_idx(key, cfg, h, w, s)
     wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
@@ -299,9 +318,13 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             blob = fetched[..., :k_blob]
             pos = _pos_from_idx(cam, idx, fetched[..., k_blob])
             nrm_geo = fetched[..., k_blob + 1:k_blob + 4]
-            rec_blob = blob.astype(jnp.bfloat16)
-            rec_nrm = (nrm_geo.astype(jnp.bfloat16)
-                       if cfg.use_mesh_normal else None)
+            if cfg.replay_blob:
+                rec_blob = blob.astype(jnp.bfloat16)
+                rec_nrm = (nrm_geo.astype(jnp.bfloat16)
+                           if cfg.use_mesh_normal else None)
+            else:
+                rec_blob = None
+                rec_nrm = None
         else:
             blob = sg(bsdf.gather(idx))
             pos = _pos_from_idx(cam, idx, dist_flat[idx])
@@ -317,17 +340,28 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
         if cfg.nee:
             u_nee = jax.random.uniform(k_nee, (s, n, 2))
-            wi_e, _ = em.sample_dir(env_sampler, u_nee)
+            wi_e, pdf_e = em.sample_dir(env_sampler, u_nee)
             shadowed = do_occlude(pos, wi_e)
+            rec_wi_e = wi_e.astype(jnp.bfloat16)
+            rec_pdf_e = pdf_e.astype(jnp.bfloat16)
         else:
             shadowed = jnp.zeros((s, n), bool)
+            rec_wi_e = None
+            rec_pdf_e = None
 
         u1 = jax.random.uniform(k_lobe, (s, n, 1))
         u2 = jax.random.uniform(k_uv, (s, n, 2))
         wi = sg(bsdf.sample_dirs(blob, u1[..., 0], u2, wo, nrm))
         hit = do_march(pos, wi)
+        # pdf of the envmap strategy at the lobe direction (BSDF-side MIS
+        # weight) — detached, so computed here where the CDF tables'
+        # (…, W) intermediates are forward-transients, never checkpoint
+        # residuals (they were the 1 GB buffers that OOM'd 1024²)
+        rec_pdf_at = (em.pdf_dir(env_sampler, wi).astype(jnp.bfloat16)
+                      if cfg.nee else None)
 
-        records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm))
+        records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm,
+                        rec_wi_e, rec_pdf_e, rec_pdf_at))
         idx = hit.idx
         wo = -wi
     return tuple(records)
@@ -348,7 +382,6 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         bsdf = bsdf_mod.disney(mats)
 
     sg = jax.lax.stop_gradient
-    env_sampler = em.build_sampler(envmap)
     geo_table = sg(jnp.concatenate(
         [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
         axis=-1))
@@ -369,7 +402,8 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
-        shadowed, hit_ok, hit_idx, rec_blob, rec_nrm = records[b]
+        (shadowed, hit_ok, hit_idx, rec_blob, rec_nrm,
+         rec_wi_e, rec_pdf_e, rec_pdf_at) = records[b]
 
         if b == 0 and identity0 and cfg.film_jitter > 0.0:
             # continuous film AA (same key as trace ⇒ identical state);
@@ -398,11 +432,14 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             nrm = nm / jnp.maximum(
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
-        # ---- NEE: envmap importance sample + recorded shadow + MIS
+        # ---- NEE: recorded envmap sample decisions + recorded shadow
+        # (wi_e/pdf_e/pdf_at come from the trace pass — they are detached
+        # estimator decisions, and recomputing them here would drag the
+        # CDF tables' (…, W) intermediates into the checkpoint remat)
         if cfg.nee:
-            u_nee = jax.random.uniform(k_nee, (s, n, 2))
-            wi_e, pdf_e, le = em.sample(env_sampler, u_nee)
-            wi_e, pdf_e = sg(wi_e), sg(pdf_e)
+            wi_e = rec_wi_e.astype(jnp.float32)
+            pdf_e = rec_pdf_e.astype(jnp.float32)
+            le = em.lookup_bilinear(envmap, wi_e)
             f_e, pdf_b_at_e = bsdf.eval(blob, idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
@@ -419,7 +456,7 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
 
         le_miss = em.lookup_bilinear(envmap, wi)
         if cfg.nee:
-            pdf_e_at_wi = sg(em.pdf_dir(env_sampler, wi))
+            pdf_e_at_wi = rec_pdf_at.astype(jnp.float32)
             w_mis_b = pdf_b / (pdf_b + pdf_e_at_wi + 1e-9)
         else:
             w_mis_b = 1.0
@@ -457,12 +494,32 @@ def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     # Unrolled accumulation: a lax.scan whose body contains gathers pays a
     # large per-iteration dispatch cost on TPU; checkpointing per chunk
     # still bounds backward memory to one chunk's shade intermediates.
+    # The optimization_barrier chain serializes the chunks: without it XLA
+    # freely interleaves every chunk's trace working set (~3 GB each) and
+    # the step OOMs at high res × spp. Only the (small) records persist
+    # across chunks. NOTE: the barrier must NOT touch `keys[i]` itself —
+    # trace and shade derive identical PRNG decisions from the same key,
+    # and both must see the bitwise-same value.
     h, w = gbuf.dist.shape
     total = jnp.zeros((h, w, 3), jnp.float32)
+    prev = None
     for i in range(n_chunks):
-        recs = _trace_chunk_paths(keys[i], cfg, cam, gbuf, mats, envmap,
-                                  bsdf)
-        total = total + shade(keys[i], recs)
+        k = keys[i]
+        if prev is not None:
+            # barrier returns (k, prev) unchanged but pins chunk i's trace
+            # behind chunk i-1's shade in the schedule (both directions:
+            # the transposed barrier serializes the backward identically)
+            k, _ = jax.lax.optimization_barrier((k, prev))
+        recs = _trace_chunk_paths(k, cfg, cam, gbuf, mats, envmap, bsdf)
+        chunk_img = shade(k, recs)
+        # barrier INSIDE the differentiable accumulation: its transpose
+        # chains the cotangents, serializing the backward remats the same
+        # way the key barrier serializes the forward traces (the plain sum
+        # hands every chunk its cotangent at once, and XLA then schedules
+        # all checkpoint remats concurrently — the other half of the OOM)
+        total = jax.lax.optimization_barrier(total + chunk_img) \
+            if n_chunks > 1 else total + chunk_img
+        prev = chunk_img
     return total / n_chunks
 
 

@@ -22,8 +22,10 @@ def test_lookup_bilinear_constant():
     env = jnp.ones((16, 32, 3)) * 2.5
     d = jax.random.normal(jax.random.PRNGKey(0), (100, 3))
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # the one-hot contraction runs in bf16 (the (…, W) one-hots are the
+    # biggest HBM buffers of the inverse step): ~2^-9 relative tolerance
     np.testing.assert_allclose(np.asarray(em.lookup_bilinear(env, d)), 2.5,
-                               atol=1e-5)
+                               rtol=4e-3)
 
 
 def test_sample_pdf_consistency():
@@ -83,10 +85,12 @@ def test_lookup_paths_agree(monkeypatch):
     monkeypatch.setattr(em, "SMALL_ENV_AXIS", 1)  # force gather path
     large = em.lookup_bilinear(env, d)
     near_large = em.lookup_nearest(env, d)
+    # small path is bf16 (see test_lookup_bilinear_constant), the gather
+    # path f32 — they agree to bf16 precision
     np.testing.assert_allclose(np.asarray(small), np.asarray(large),
-                               atol=1e-5)
+                               rtol=8e-3, atol=4e-3)
     np.testing.assert_allclose(np.asarray(near_small),
-                               np.asarray(near_large), atol=1e-5)
+                               np.asarray(near_large), rtol=8e-3, atol=4e-3)
 
 
 @pytest.mark.slow
@@ -131,3 +135,20 @@ def test_flat_pdf_dir_integrates_to_one():
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     est = float(em.pdf_dir(sampler, d).mean() * 4 * np.pi)
     assert abs(est - 1.0) < 0.05
+
+
+def test_lookup_bilinear_gradient_matches_gather_path(monkeypatch):
+    """The custom-VJP scatter backward must match the plain gather path's
+    envmap gradient."""
+    env = jax.random.uniform(jax.random.PRNGKey(20), (16, 32, 3)) + 0.1
+    d = jax.random.normal(jax.random.PRNGKey(21), (400, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+    def loss(e):
+        return jnp.sum(em.lookup_bilinear(e, d) ** 2)
+
+    g1 = jax.grad(loss)(env)
+    monkeypatch.setattr(em, "SMALL_ENV_AXIS", 1)  # force f32 gather path
+    g2 = jax.grad(loss)(env)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-2, atol=2e-2)
