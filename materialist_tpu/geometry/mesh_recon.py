@@ -52,13 +52,63 @@ def _tri_view_angle(p0, p1, p2):
     return np.degrees(np.arcsin(np.clip(s, 0.0, 1.0)))
 
 
+def depth_to_mesh_native(depth, K=None, min_angle: float = 6.0,
+                         depth_scale: float = 1.0):
+    """Native (C++) depth→mesh fast path (native/mesh_recon.cpp).
+
+    Same contract as depth_to_mesh; raises on loader failure — use
+    depth_to_mesh(..., impl="auto") for automatic fallback.
+    """
+    import ctypes
+
+    from materialist_tpu.io import native
+
+    depth = np.ascontiguousarray(np.asarray(depth, np.float32))
+    if depth.ndim == 3:
+        depth = depth[..., 0]
+    depth = depth / depth_scale
+    h, w = depth.shape
+    if K is None:
+        K = default_intrinsics(w, h)
+    lib = native.load()
+    handle = lib.mesh_build(
+        depth.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        float(K[0, 0]), float(K[1, 1]), float(K[0, 2]), float(K[1, 2]),
+        float(min_angle))
+    try:
+        nv = ctypes.c_int64()
+        nf = ctypes.c_int64()
+        nb = ctypes.c_int64()
+        lib.mesh_counts(handle, ctypes.byref(nv), ctypes.byref(nf),
+                        ctypes.byref(nb))
+        verts = np.empty((nv.value, 3), np.float32)
+        faces = np.empty((nf.value, 3), np.int32)
+        boundary = np.empty((nb.value, 3), np.float32)
+        lib.mesh_copy(handle,
+                      verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                      boundary.ctypes.data_as(
+                          ctypes.POINTER(ctypes.c_float)))
+    finally:
+        lib.mesh_free(handle)
+    return verts, faces, boundary
+
+
 def depth_to_mesh(depth, K=None, min_angle: float = 6.0,
-                  depth_scale: float = 1.0):
+                  depth_scale: float = 1.0, impl: str = "auto"):
     """Build the occlusion-aware heightfield mesh.
 
+    ``impl``: "auto" tries the native C++ builder and falls back to the
+    vectorized numpy path; "numpy"/"native" force one.
     Returns (vertices (N,3) float32, faces (M,3) int32,
     boundary_points (B,3) float32).
     """
+    if impl in ("auto", "native"):
+        try:
+            return depth_to_mesh_native(depth, K, min_angle, depth_scale)
+        except Exception:
+            if impl == "native":
+                raise
     depth = np.asarray(depth, np.float32).copy()
     if depth.ndim == 3:
         depth = depth[..., 0]
@@ -83,31 +133,30 @@ def depth_to_mesh(depth, K=None, min_angle: float = 6.0,
                           depth[:-2, 1:-1], depth[1:-1, :-2])
 
     # fan combinations (0,1,2),(0,2,3),(0,3,4),(0,4,1) over
-    # [center, below, right, above, left]
+    # [center, below, right, above, left]; each entry carries the ACTUAL
+    # (di, dj) offsets of its two neighbors so the refer chain points at
+    # the pixel whose depth was chosen
     tris = [(below, right, d_b, d_r, (1, 0), (0, 1)),
-            (right, above, d_r, d_a, (-1, 0), (0, 1)),
+            (right, above, d_r, d_a, (0, 1), (-1, 0)),
             (above, left, d_a, d_l, (-1, 0), (0, -1)),
-            (left, below, d_l, d_b, (1, 0), (0, -1))]
+            (left, below, d_l, d_b, (0, -1), (1, 0))]
     ref_i = np.full((h, w), -1, np.int32)
     ref_j = np.full((h, w), -1, np.int32)
     ref_d = np.full((h, w), -np.inf, np.float32)
     is_boundary = np.zeros((h - 2, w - 2), bool)
     ii, jj = np.meshgrid(np.arange(1, h - 1), np.arange(1, w - 1),
                          indexing="ij")
-    for pa, pb, da, db, off_i, off_j in tris:
+    for pa, pb, da, db, off_a, off_b in tris:
         ang = _tri_view_angle(c, pa, pb)
         graz = ang < min_angle
         # the reference checks the two *axis* neighbors of this fan quadrant
         step = graz & ((d_c < da) | (d_c < db))
         is_boundary |= step
-        # refer to the deeper of the two neighbors; pa is the i-offset
-        # neighbor, pb the j-offset neighbor
+        # refer to the deeper of the two neighbors
         use_a = da > db
         cand_d = np.where(use_a, da, db)
-        ni_a, nj_a = ii + off_i[0], jj + off_i[1]
-        ni_b, nj_b = ii, jj + off_j[1]
-        cand_ii = np.where(use_a, ni_a, ni_b)
-        cand_jj = np.where(use_a, nj_a, nj_b)
+        cand_ii = np.where(use_a, ii + off_a[0], ii + off_b[0])
+        cand_jj = np.where(use_a, jj + off_a[1], jj + off_b[1])
         upd = step & (cand_d > ref_d[1:-1, 1:-1])
         ref_d[1:-1, 1:-1] = np.where(upd, cand_d, ref_d[1:-1, 1:-1])
         ref_i[1:-1, 1:-1] = np.where(upd, cand_ii, ref_i[1:-1, 1:-1])

@@ -56,5 +56,21 @@ def load():
         ]
         lib.exr_last_error.restype = ctypes.c_char_p
         lib.exr_free.argtypes = [ctypes.c_void_p]
+
+        lib.mesh_build.restype = ctypes.c_void_p
+        lib.mesh_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double,
+        ]
+        lib.mesh_counts.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.mesh_copy.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.mesh_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib

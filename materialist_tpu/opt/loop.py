@@ -38,6 +38,7 @@ from materialist_tpu.opt import schedules
 from materialist_tpu.ops.color import linear_to_srgb
 from materialist_tpu.render.scene import GBuffer, Materials
 from materialist_tpu.render.shader import RenderConfig, render
+from materialist_tpu.utils.profiling import JsonlLogger, PhaseTimer
 
 
 @dataclasses.dataclass
@@ -97,6 +98,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
     bool, optional gt_envmap (16,32,3).
     """
     os.makedirs(os.path.join(output_dir, "best_results"), exist_ok=True)
+    timer = PhaseTimer()
+    metrics = JsonlLogger(os.path.join(output_dir, "metrics.jsonl"))
     env_frames_dir = os.path.join(output_dir, "env_frames")
     mat_frames_dir = os.path.join(output_dir, "mat_frames")
     os.makedirs(env_frames_dir, exist_ok=True)
@@ -320,9 +323,12 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         mse_val = float("nan")
         for epoch in range(opts.num_epochs):
             k = jax.random.fold_in(key, loop_num * 1000000 + epoch)
-            env_params, opt_state, loss, mse, env, img = env_step(
-                env_params, opt_state, mats_now, k)
-            mse_val = float(mse)
+            with timer.phase("env_step"):
+                env_params, opt_state, loss, mse, env, img = env_step(
+                    env_params, opt_state, mats_now, k)
+                mse_val = float(mse)
+            metrics.log(phase="env", loop=loop_num, epoch=epoch,
+                        mse=mse_val)
             saver.update(mse_val, mat["albedo"], mat["roughness"],
                          mat["metallic"], mat["normal"], env, img)
             early(mse_val)
@@ -402,10 +408,13 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 for epoch in range(opts.num_epochs):
                     k = jax.random.fold_in(
                         key, loop_num * 1000000 + 500000 + epoch)
-                    params, opt_state, loss, auxes = step(
-                        params, opt_state, cur, env4render, k)
-                    mse, render_loss, aux, mats_cur, pred = auxes
-                    mse_val = float(mse)
+                    with timer.phase(f"mat_direct[{part}]"):
+                        params, opt_state, loss, auxes = step(
+                            params, opt_state, cur, env4render, k)
+                        mse, render_loss, aux, mats_cur, pred = auxes
+                        mse_val = float(mse)
+                    metrics.log(phase=f"mat_direct[{part}]", loop=loop_num,
+                                epoch=epoch, mse=mse_val)
                     saver.update(mse_val, mats_cur.albedo,
                                  mats_cur.roughness, mats_cur.metallic,
                                  mats_cur.normal, env4render, pred)
@@ -430,10 +439,13 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 for epoch in range(opts.num_epochs):
                     k = jax.random.fold_in(
                         key, loop_num * 1000000 + 500000 + epoch)
-                    brdf_params, opt_state, loss, auxes, params_pre = step(
-                        brdf_params, opt_state, cur, env4render, k)
-                    mse, render_loss, aux, mats_cur, pred = auxes
-                    mse_val = float(mse)
+                    with timer.phase(f"mat_mlp[{part}]"):
+                        brdf_params, opt_state, loss, auxes, params_pre = \
+                            step(brdf_params, opt_state, cur, env4render, k)
+                        mse, render_loss, aux, mats_cur, pred = auxes
+                        mse_val = float(mse)
+                    metrics.log(phase=f"mat_mlp[{part}]", loop=loop_num,
+                                epoch=epoch, mse=mse_val)
                     saver.update(mse_val, mats_cur.albedo,
                                  mats_cur.roughness, mats_cur.metallic,
                                  mats_cur.normal, env4render, pred,
@@ -462,6 +474,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 brdf_params = saver.best_net_params
             saver.save_results(os.path.join(output_dir, "best_results"))
 
+    print("[profile] per-phase wall clock:\n" + timer.report(),
+          flush=True)
+    metrics.close()
     if env_frames:
         video_io.write_video(env_frames,
                              os.path.join(output_dir,
