@@ -146,6 +146,14 @@ def _lookup_bilinear_small(envmap, u0i, u1i, v0i, v1i, du, dv):
 
     No gradient flows to the direction (du/dv/indices) — all call sites
     pass detached directions (detached-sampling estimator).
+
+    Precision note: the backward uses EXACT f32 bilinear weights while the
+    forward quantizes the weighted one-hots to bf16, so the VJP is the
+    gradient of a slightly different function (~2^-8 relative weight
+    mismatch). This is intentional — the weights are estimator constants
+    (detached), the mismatch is far below MC noise at any spp, and f32
+    backward weights are strictly more accurate. Gradient tests comparing
+    against numeric differences of the bf16 forward must allow ~1e-2.
     """
     h, w = envmap.shape[0], envmap.shape[1]
     du16 = du.astype(jnp.bfloat16)

@@ -79,10 +79,6 @@ void* mesh_build(const float* depth_in, int h, int w, double fx, double fy,
   // fan quadrants [center, below, right, above, left]:
   // (below,right) (right,above) (above,left) (left,below) with the
   // i-offset neighbor listed first (mesh_recon.py:87-90)
-  const int off_a_i[4] = {1, -1, -1, 1};   // i-offset neighbor row delta
-  const int off_b_j[4] = {1, 1, -1, -1};   // j-offset neighbor col delta
-  const int na_i[4] = {1, 0, -1, 0}, na_j[4] = {0, 1, 0, -1};
-  const int nb_i[4] = {0, -1, 0, 1}, nb_j[4] = {1, 0, -1, 0};
   // quadrant q uses neighbors fan[q] and fan[q+1] of
   // below(1,0) right(0,1) above(-1,0) left(0,-1)
   const int fi[5] = {1, 0, -1, 0, 1}, fj[5] = {0, 1, 0, -1, 0};
@@ -127,10 +123,13 @@ void* mesh_build(const float* depth_in, int h, int w, double fx, double fy,
   }
 
   // ---- background-depth propagation: follow refer chains to the root
+  // Chains are acyclic (depth strictly increases along refer links), so a
+  // bound of n hops resolves any chain fully — matching the numpy path's
+  // pointer jumping, which iterates to a fixed point.
   std::vector<double> new_depth(n);
   for (int64_t k = 0; k < n; ++k) {
     int64_t r = k;
-    for (int hops = 0; hops < h + w && refer[r] != r; ++hops) r = refer[r];
+    for (int64_t hops = 0; hops < n && refer[r] != r; ++hops) r = refer[r];
     new_depth[k] = depth[r];
   }
 

@@ -46,17 +46,6 @@ def adj_sorted(cot, idx):
                                indices_are_sorted=True)
 
 
-@jax.jit
-def adj_onehot_block(cot, idx):
-    # MXU: accumulate via (M, 4096) one-hot blocks against row blocks
-    out = jnp.zeros((N, K), cot.dtype)
-    B = 4096
-    accs = []
-    for b0 in range(0, N, B * 16):
-        pass
-    return out  # placeholder; not competitive at this N — skipped
-
-
 r1 = timeit("gather fwd (2M x 8)", fwd, table, idx)
 r2 = timeit("adjoint: XLA scatter-add", adj_scatter, cot, idx)
 r3 = timeit("adjoint: argsort + segment_sum(sorted)", adj_sorted, cot, idx)
