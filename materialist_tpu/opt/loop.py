@@ -64,6 +64,11 @@ class InverseOptions:
     march_impl: str = "fused"       # fused | mip | exact (RenderConfig)
     march_vectorized: bool = False  # exact impl: step-parallel (fast CPU
     #                                 compile) vs statically unrolled (TPU)
+    film_jitter: float = 0.5  # continuous in-pixel film sampling in the
+    # OPTIMIZATION loop too — Mitsuba's hdrfilm samples continuous film
+    # positions during the inverse optimization (inverse_img_w_mi.py:37-43),
+    # and the forward renderer (render/forward.py) uses jitter 0.5, so the
+    # optimizer must fit the same estimator (round-2 VERDICT item 4)
 
 
 def _render_cfg(opts: InverseOptions) -> RenderConfig:
@@ -72,7 +77,8 @@ def _render_cfg(opts: InverseOptions) -> RenderConfig:
                         march_steps=opts.march_steps,
                         shadow_steps=opts.shadow_steps,
                         march_impl=opts.march_impl,
-                        march_vectorized=opts.march_vectorized)
+                        march_vectorized=opts.march_vectorized,
+                        film_jitter=opts.film_jitter)
 
 
 def _apply_mask_constraint(r, m, mask):

@@ -359,9 +359,15 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         # residuals (they were the 1 GB buffers that OOM'd 1024²)
         rec_pdf_at = (em.pdf_dir(env_sampler, wi).astype(jnp.bfloat16)
                       if cfg.nee else None)
+        # the lobe direction is a RECORD too: the shade pass must attach
+        # the recorded hit/pdf_at to the direction the trace actually
+        # marched, not to a re-derivation from bf16-rounded replayed rows
+        # (advisor round-2 finding: silhouette-edge bias); recording it
+        # also deletes the shade-side sample_dirs recompute entirely
+        rec_wi = wi.astype(jnp.bfloat16)
 
         records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm,
-                        rec_wi_e, rec_pdf_e, rec_pdf_at))
+                        rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi))
         idx = hit.idx
         wo = -wi
     return tuple(records)
@@ -400,10 +406,8 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
 
     identity0 = bsdf.table is not None
     for b in range(cfg.max_depth - 1):
-        kb = jax.random.fold_in(key, b)
-        k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
         (shadowed, hit_ok, hit_idx, rec_blob, rec_nrm,
-         rec_wi_e, rec_pdf_e, rec_pdf_at) = records[b]
+         rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi) = records[b]
 
         if b == 0 and identity0 and cfg.film_jitter > 0.0:
             # continuous film AA (same key as trace ⇒ identical state);
@@ -446,10 +450,12 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             gate = (alive & ~shadowed)[..., None]
             radiance = radiance + jnp.where(gate, contrib, 0.0)
 
-        # ---- BSDF lobe: same decisions as the trace pass (same keys)
-        u1 = jax.random.uniform(k_lobe, (s, n, 1))
-        u2 = jax.random.uniform(k_uv, (s, n, 2))
-        wi = sg(bsdf.sample_dirs(sg(blob), u1[..., 0], u2, wo, nrm))
+        # ---- BSDF lobe: the RECORDED trace direction (normalized back to
+        # unit length after the bf16 round trip) — the hit/pdf_at records
+        # attach to exactly this direction
+        wi = rec_wi.astype(jnp.float32)
+        wi = wi / jnp.maximum(
+            jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-9)
         f_b, pdf_b = bsdf.eval(blob, idx, wi, wo, nrm)
         pdf_b = sg(pdf_b)
         weight = bsdf.weight(f_b, pdf_b)
@@ -475,14 +481,47 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         h, w, 3)
 
 
-def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
-                     mats: Materials, envmap, bsdf=None):
-    """Render with an arbitrary BSDF closure set (render/bsdf.py).
+def trace_step_records(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                       mats: Materials, envmap, bsdf=None):
+    """Decision/visibility pass for a FULL step: per-chunk trace records.
 
-    Path-replay structure: per chunk, a non-differentiable trace resolves
-    all visibility (records are int/bool), then a checkpointed shade
-    computes the differentiable radiance. The backward pass recomputes
-    only the shade — marches run exactly once per step.
+    Nothing in the result is differentiable (bool/int visibility plus bf16
+    replayed rows and directions), so the records can be computed once,
+    cached across host-level gradient-accumulation passes, and sharded
+    freely — the expensive marches and row-gathers never run again.
+
+    The chunks are serialized with an optimization_barrier chain: without
+    it XLA schedules every chunk's trace working set (~3 GB each at 512²
+    ×16spp) concurrently and the step OOMs at high res × spp. Only the
+    (small) records persist across chunks. NOTE: the barrier must NOT
+    alter ``keys[i]`` semantics — trace and shade derive identical PRNG
+    decisions from the same key and must see the bitwise-same value
+    (optimization_barrier is the identity, so this holds).
+    """
+    n_chunks = max(cfg.spp // cfg.chunk, 1)
+    keys = jax.random.split(key, n_chunks)
+    out = []
+    anchor = None
+    for i in range(n_chunks):
+        k = keys[i]
+        if anchor is not None:
+            k, _ = jax.lax.optimization_barrier((k, anchor))
+        recs = _trace_chunk_paths(k, cfg, cam, gbuf, mats, envmap, bsdf)
+        out.append(recs)
+        anchor = recs[0][0]    # pin chunk i+1 behind chunk i's records
+    return tuple(out)
+
+
+def shade_from_records(key, records, cfg: RenderConfig, cam: Camera,
+                       gbuf: GBuffer, mats: Materials, envmap, bsdf=None):
+    """Differentiable radiance from precomputed trace records.
+
+    Each chunk's shade sits under jax.checkpoint (the backward pass
+    re-materializes one chunk's shade at a time), and the accumulation is
+    barrier-chained: the transposed barrier serializes the backward remats
+    the same way the forward chain serializes the traces (a plain sum
+    hands every chunk its cotangent at once and XLA then schedules all
+    checkpoint remats concurrently — the other half of the high-res OOM).
     """
     n_chunks = max(cfg.spp // cfg.chunk, 1)
     keys = jax.random.split(key, n_chunks)
@@ -491,36 +530,28 @@ def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         lambda k, recs: _shade_chunk(k, recs, cfg, cam, gbuf, mats,
                                      envmap, bsdf))
 
-    # Unrolled accumulation: a lax.scan whose body contains gathers pays a
-    # large per-iteration dispatch cost on TPU; checkpointing per chunk
-    # still bounds backward memory to one chunk's shade intermediates.
-    # The optimization_barrier chain serializes the chunks: without it XLA
-    # freely interleaves every chunk's trace working set (~3 GB each) and
-    # the step OOMs at high res × spp. Only the (small) records persist
-    # across chunks. NOTE: the barrier must NOT touch `keys[i]` itself —
-    # trace and shade derive identical PRNG decisions from the same key,
-    # and both must see the bitwise-same value.
     h, w = gbuf.dist.shape
     total = jnp.zeros((h, w, 3), jnp.float32)
-    prev = None
     for i in range(n_chunks):
-        k = keys[i]
-        if prev is not None:
-            # barrier returns (k, prev) unchanged but pins chunk i's trace
-            # behind chunk i-1's shade in the schedule (both directions:
-            # the transposed barrier serializes the backward identically)
-            k, _ = jax.lax.optimization_barrier((k, prev))
-        recs = _trace_chunk_paths(k, cfg, cam, gbuf, mats, envmap, bsdf)
-        chunk_img = shade(k, recs)
-        # barrier INSIDE the differentiable accumulation: its transpose
-        # chains the cotangents, serializing the backward remats the same
-        # way the key barrier serializes the forward traces (the plain sum
-        # hands every chunk its cotangent at once, and XLA then schedules
-        # all checkpoint remats concurrently — the other half of the OOM)
+        chunk_img = shade(keys[i], records[i])
         total = jax.lax.optimization_barrier(total + chunk_img) \
             if n_chunks > 1 else total + chunk_img
-        prev = chunk_img
     return total / n_chunks
+
+
+def render_with_bsdf(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                     mats: Materials, envmap, bsdf=None):
+    """Render with an arbitrary BSDF closure set (render/bsdf.py).
+
+    Path-replay structure: a non-differentiable trace resolves all
+    visibility and stochastic decisions into compact per-chunk records,
+    then a checkpointed shade computes the differentiable radiance. The
+    backward pass recomputes only the shade — marches and row-gathers run
+    exactly once per step.
+    """
+    records = trace_step_records(key, cfg, cam, gbuf, mats, envmap, bsdf)
+    return shade_from_records(key, records, cfg, cam, gbuf, mats, envmap,
+                              bsdf)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cam"))
