@@ -1,0 +1,228 @@
+"""Span-binned row gather / scatter-add — Pallas kernels for the
+material-table fetches and their adjoints.
+
+XLA's TPU gather/scatter serialize per index (~14 ns/row measured
+in-graph; the scatter adjoint is worse), which made the (M≈4–17M rows per
+step) material fetch and its scatter-add adjoint two of the three largest
+step components. These kernels exploit the *spatial coherence* of
+screen-space path tracing: queries arrive in (1024,) blocks of rays from
+adjacent pixels, whose hit indices cluster in a small row range. Per
+block the kernel computes the span [min, max] of its indices and sweeps
+only the covering row tiles, turning the data movement into one-hot
+matmuls that ride the MXU:
+
+    gather:  outᵀ (K,1024)    = Σ_tiles  tileᵀ (K,T) @ onehotᵀ (T,1024)
+    scatter: outᵀ[:, tile] (K,T) += cotᵀ (K,1024) ·contract_q· onehotᵀ (T,1024)
+
+where onehotᵀ[r, q] = (idx[q] − tile₀ == r) is built by an iota-compare
+in its NATURAL layout (queries along lanes) — no transposes inside the
+kernel, and the scatter accumulator lives CHANNEL-MAJOR (K, N) so the
+long row axis fills the 128-lane dimension (a row-major (N, 8) output
+block pads 8 lanes to 128 and wastes 16× VMEM). TPU grid steps run
+sequentially on a core, so the scatter's read-modify-write accumulation
+into the VMEM-resident output is safe.
+
+Correctness does not depend on coherence — a worst-case random
+permutation sweeps every tile (slow but exact). Padding queries index
+row 0 with zero cotangents.
+
+VMEM sizing (v5e: 128 MB/core): the full table (gather) or accumulator
+(scatter) sits in VMEM; callers split the channel axis into
+≤ VMEM_TABLE_BYTES slabs automatically (not needed below ~1536² maps).
+Off-TPU both functions fall back to plain indexed ops
+(bitwise-equivalent semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False   # tests run the kernels in Pallas interpret mode
+
+Q = 1024           # queries per grid step (one lane-major (1, 1024) row)
+T = 512            # rows per table tile
+VMEM_TABLE_BYTES = 72 * 1024 * 1024    # of the 128 MB/core on v5e
+
+
+def _gather_kernel(idx_ref, tbl_ref, out_ref, *, n_tiles, k):
+    idxb = idx_ref[0:1, :]        # (1, Q) int32 lanes (None dim squeezed)
+    t_lo = jnp.min(idxb) // T
+    t_hi = jnp.max(idxb) // T
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, Q), 0)
+    acc0 = jnp.zeros((k, Q), jnp.float32)
+
+    def tile_body(t, acc):
+        rel = idxb - t * T                              # (1, Q)
+        onehot = (iota == rel).astype(jnp.float32)      # (T, Q) natural
+        tile = tbl_ref[t]                               # (K, T)
+        return acc + jax.lax.dot_general(
+            tile, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out_ref[:, :] = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "k"))
+def _row_gather_tpu(tbl_tiles, idx_flat, n_rows: int, k: int):
+    n_tiles = tbl_tiles.shape[0]
+    m = idx_flat.shape[0]
+    pad = (-m) % Q
+    idx_p = jnp.pad(idx_flat, (0, pad)).reshape(-1, 1, Q)
+    n_blocks = idx_p.shape[0]
+
+    outt = pl.pallas_call(
+        functools.partial(_gather_kernel, n_tiles=n_tiles, k=k),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, Q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, k, T), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, k, Q), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, k, Q), jnp.float32),
+        interpret=_INTERPRET,
+    )(idx_p, tbl_tiles)
+    return jnp.moveaxis(outt, 1, 2).reshape(-1, k)[:m]
+
+
+def _tileize(table):
+    """(N, K) → (n_tiles, K, T) with N padded up to a multiple of T."""
+    n, k = table.shape
+    n_tiles = -(-n // T)
+    padded = jnp.pad(table, ((0, n_tiles * T - n), (0, 0)))
+    return jnp.moveaxis(padded.reshape(n_tiles, T, k), 1, 2), n_tiles
+
+
+def row_gather(table, idx):
+    """table (N, K) float; idx (...,) int32 in [0, N) → (..., K) f32.
+
+    TPU: span-binned MXU kernel (exact — one-hot row selection, f32).
+    Off-TPU: ``table[idx]``. Channel axis split automatically so each
+    kernel's table fits VMEM.
+    """
+    if jax.default_backend() != "tpu":
+        return table[idx].astype(jnp.float32)
+    n, k = table.shape
+    shape = idx.shape
+    idx_flat = idx.reshape(-1)
+    n_tiles = -(-n // T)
+    bytes_per_ch = n_tiles * T * 4
+    ch_per_call = max(int(VMEM_TABLE_BYTES // bytes_per_ch), 1)
+    outs = []
+    for c0 in range(0, k, ch_per_call):
+        sub = table[:, c0:c0 + ch_per_call].astype(jnp.float32)
+        tiles, nt = _tileize(sub)
+        outs.append(_row_gather_tpu(tiles, idx_flat, n, sub.shape[1]))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+    return out.reshape(*shape, k)
+
+
+def _scatter_kernel(idx_ref, cot_ref, out_ref, *, n_tiles, k):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    idxb = idx_ref[0:1, :]        # (1, Q) lanes (None dim squeezed)
+    t_lo = jnp.min(idxb) // T
+    t_hi = jnp.max(idxb) // T
+    cott = cot_ref[:, :]                                # (K, Q)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, Q), 0)
+
+    def tile_body(t, _):
+        rel = idxb - t * T
+        onehot = (iota == rel).astype(jnp.float32)      # (T, Q)
+        # (K, T) = cotᵀ ·over q· onehotᵀ (both lane-major; "NT" matmul)
+        add = jax.lax.dot_general(
+            cott, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r0 = t * T
+        out_ref[:, pl.ds(r0, T)] = out_ref[:, pl.ds(r0, T)] + add
+        return 0
+
+    jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows", "k"))
+def _row_scatter_tpu(cot_flat, idx_flat, n_rows: int, k: int):
+    m = idx_flat.shape[0]
+    pad = (-m) % Q
+    idx_p = jnp.pad(idx_flat, (0, pad)).reshape(-1, 1, Q)
+    cott = jnp.pad(cot_flat, ((0, pad), (0, 0))).T.reshape(k, -1, Q)
+    n_blocks = idx_p.shape[0]
+    n_tiles = -(-n_rows // T)
+
+    outt = pl.pallas_call(
+        functools.partial(_scatter_kernel, n_tiles=n_tiles, k=k),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((None, 1, Q), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, None, Q), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, n_tiles * T), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, n_tiles * T), jnp.float32),
+        interpret=_INTERPRET,
+    )(idx_p, cott)
+    return outt.T[:n_rows]
+
+
+def row_scatter_add(cot, idx, n_rows: int):
+    """Adjoint of row_gather: Σ over queries of cot rows at idx.
+
+    cot (..., K) f32, idx (...,) int32 → (n_rows, K) f32. TPU: span-binned
+    MXU kernel with the output resident in VMEM (channel-split when
+    n_rows·K·4 exceeds the VMEM budget). Off-TPU: ``zeros.at[idx].add``.
+    Padding rows contribute zero cotangent.
+    """
+    k = cot.shape[-1]
+    cot_flat = cot.reshape(-1, k).astype(jnp.float32)
+    idx_flat = idx.reshape(-1)
+    if jax.default_backend() != "tpu":
+        return jnp.zeros((n_rows, k), jnp.float32).at[idx_flat].add(cot_flat)
+    n_tiles = -(-n_rows // T)
+    bytes_per_ch = n_tiles * T * 4
+    ch_per_call = max(int(VMEM_TABLE_BYTES // bytes_per_ch), 1)
+    if ch_per_call >= k:
+        return _row_scatter_tpu(cot_flat, idx_flat, n_rows, k)
+    outs = []
+    for c0 in range(0, k, ch_per_call):
+        sub = cot_flat[:, c0:c0 + ch_per_call]
+        outs.append(_row_scatter_tpu(sub, idx_flat, n_rows, sub.shape[1]))
+    return jnp.concatenate(outs, axis=-1)
+
+
+@jax.custom_vjp
+def row_gather_diff(table, idx):
+    """Differentiable row gather: forward = row_gather (span-binned kernel
+    on TPU), backward = row_scatter_add into the table cotangent. The
+    index path carries no gradient (estimator decisions are detached).
+
+    Use where the gathered rows must carry gradients to the table but the
+    rows were NOT pre-fetched by a trace pass (the record-light shade
+    path: re-gathering costs one kernel call; the records shrink by
+    22 B/path-vertex, which is what fits 1024²×64spp in HBM)."""
+    return row_gather(table, idx)
+
+
+def _row_gather_diff_fwd(table, idx):
+    proto = jnp.zeros((0,), table.dtype)   # dtype token (a valid JAX type)
+    return row_gather(table, idx), (idx, table.shape[0], proto)
+
+
+def _row_gather_diff_bwd(res, cot):
+    idx, n_rows, proto = res
+    g = row_scatter_add(cot, idx, n_rows).astype(proto.dtype)
+    return (g, None)
+
+
+row_gather_diff.defvjp(_row_gather_diff_fwd, _row_gather_diff_bwd)

@@ -66,8 +66,8 @@ def _reuse_gather_fwd(table, idx, primal):
 
 def _reuse_gather_bwd(res, cot):
     idx, table = res
-    g = jnp.zeros_like(table).at[idx.reshape(-1)].add(
-        cot.reshape(-1, table.shape[-1]).astype(table.dtype))
+    from materialist_tpu.ops.pallas.rowops import row_scatter_add
+    g = row_scatter_add(cot, idx, table.shape[0]).astype(table.dtype)
     return (g, None, None)
 
 
@@ -93,7 +93,11 @@ def disney(mats: Materials):
     table = _pack(mats)
 
     def gather_fn(idx):
-        return table[idx]
+        # differentiable span-binned row gather (scatter-add adjoint) —
+        # the record-light shade path re-fetches rows here instead of
+        # replaying bf16 records (ops/pallas/rowops.py)
+        from materialist_tpu.ops.pallas.rowops import row_gather_diff
+        return row_gather_diff(table, idx)
 
     def eval_fn(blob, idx, wi, wo, normal):
         a, r, m, _ = _unpack(blob)
@@ -144,7 +148,8 @@ def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,
     h_img = mats.albedo.shape[0]
 
     def gather_fn(idx):
-        return table[idx]
+        from materialist_tpu.ops.pallas.rowops import row_gather_diff
+        return row_gather_diff(table, idx)
 
     def refract_dir(wi, normal, eta_ratio):
         """Snell refraction (mi_plugin.py:1494-1501); wi points away."""

@@ -314,7 +314,11 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             rec_blob = None
             rec_nrm = None
         elif k_blob is not None:
-            fetched = combo[idx]
+            # span-binned Pallas row gather (ops/pallas/rowops.py): XLA's
+            # serialized gather was ~14 ns/row — one of the three largest
+            # step components at 4-17M rows/step
+            from materialist_tpu.ops.pallas.rowops import row_gather
+            fetched = row_gather(combo, idx)
             blob = fetched[..., :k_blob]
             pos = _pos_from_idx(cam, idx, fetched[..., k_blob])
             nrm_geo = fetched[..., k_blob + 1:k_blob + 4]
@@ -388,9 +392,7 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         bsdf = bsdf_mod.disney(mats)
 
     sg = jax.lax.stop_gradient
-    geo_table = sg(jnp.concatenate(
-        [gbuf.position.reshape(n, 3), gbuf.normal_geo.reshape(n, 3)],
-        axis=-1))
+    nrm_table = sg(gbuf.normal_geo.reshape(n, 3))
 
     idx = _primary_idx(key, cfg, h, w, s)
     wo = jnp.broadcast_to(gbuf.wo.reshape(n, 3), (s, n, 3))
@@ -419,7 +421,7 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             # identity gather at the primary bounce: adjoint is a sum over
             # the sample axis (broadcast transpose), not a scatter-add
             blob = bsdf.table
-            nrm_geo = geo_table[..., 3:6]
+            nrm_geo = nrm_table
         elif rec_blob is not None and bsdf.gather_reuse is not None:
             # rows already fetched by the trace pass: free forward,
             # scatter-add adjoint into the material table
@@ -427,8 +429,12 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             nrm_geo = (rec_nrm.astype(jnp.float32)
                        if rec_nrm is not None else None)
         else:
-            blob = bsdf.gather(idx)    # one differentiable row-gather
-            nrm_geo = geo_table[idx][..., 3:6]
+            # record-light path: re-fetch the rows (span-binned kernel,
+            # scatter-add adjoint) — ~22 B/path-vertex less record HBM,
+            # the difference that fits 1024²×64spp with cached records
+            blob = bsdf.gather(idx)
+            from materialist_tpu.ops.pallas.rowops import row_gather
+            nrm_geo = row_gather(nrm_table, idx)
         if cfg.use_mesh_normal:
             nrm = nrm_geo
         else:

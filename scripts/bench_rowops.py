@@ -1,0 +1,70 @@
+"""Fetch-forced TPU micro-bench: span-binned rowops vs XLA gather/scatter.
+
+Coherent indices model march hits (neighboring rays hit nearby pixels);
+the random case is the worst-case bound.
+"""
+
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from materialist_tpu.ops.pallas import rowops
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 512 * 512
+K = 12
+M = int(sys.argv[2]) if len(sys.argv) > 2 else 4 * 512 * 512
+
+rng = np.random.RandomState(0)
+table = jnp.asarray(rng.randn(N, K).astype(np.float32))
+cot = jnp.asarray(rng.randn(M, 8).astype(np.float32))
+
+# coherent: blocks of 1024 queries spanning ~2000 rows
+base = rng.randint(0, N, size=(M // 1024 + 1,))
+idx_coh = jnp.asarray(((np.repeat(base, 1024)[:M]
+                        + rng.randint(0, 2000, size=M)) % N).astype(np.int32))
+idx_rnd = jnp.asarray(rng.randint(0, N, size=M).astype(np.int32))
+
+
+def fetch(x):
+    return float(jnp.ravel(x)[0])
+
+
+def timeit(name, fn, *args, reps=5):
+    out = fn(*args)
+    fetch(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    fetch(out)
+    print(f"{name:42s} {(time.time()-t0)/reps*1000:9.2f} ms", flush=True)
+
+
+print(f"== N={N} K={K} M={M} ==")
+xla_gather = jax.jit(lambda t, i: t[i])
+xla_scatter = jax.jit(
+    lambda c, i: jnp.zeros((N, 8), jnp.float32).at[i].add(c))
+pl_gather = jax.jit(lambda t, i: rowops.row_gather(t, i))
+pl_scatter = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N))
+
+timeit("XLA row-gather 12ch", xla_gather, table, idx_coh)
+timeit("pallas row-gather 12ch coherent", pl_gather, table, idx_coh)
+timeit("pallas row-gather 12ch random", pl_gather, table, idx_rnd)
+timeit("XLA scatter-add 8ch", xla_scatter, cot, idx_coh)
+timeit("pallas scatter-add 8ch coherent", pl_scatter, cot, idx_coh)
+timeit("pallas scatter-add 8ch random", pl_scatter, cot, idx_rnd)
+
+# correctness on-device
+g1 = np.asarray(xla_gather(table, idx_coh[:4096]))
+g2 = np.asarray(pl_gather(table, idx_coh[:4096]))
+np.testing.assert_array_equal(g1, g2)
+s1 = np.asarray(xla_scatter(cot, idx_coh))
+s2 = np.asarray(pl_scatter(cot, idx_coh))
+np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-4)
+print("correctness: OK")
