@@ -49,7 +49,7 @@ T = 512            # rows per table tile
 VMEM_TABLE_BYTES = 72 * 1024 * 1024    # of the 128 MB/core on v5e
 
 
-def _gather_kernel(idx_ref, tbl_ref, out_ref, *, n_tiles, k):
+def _gather_kernel(idx_ref, tbl_ref, out_ref, *, n_tiles, k, precision):
     idxb = idx_ref[0:1, :]        # (1, Q) int32 lanes (None dim squeezed)
     t_lo = jnp.min(idxb) // T
     t_hi = jnp.max(idxb) // T
@@ -63,21 +63,25 @@ def _gather_kernel(idx_ref, tbl_ref, out_ref, *, n_tiles, k):
         tile = tbl_ref[t]                               # (K, T)
         return acc + jax.lax.dot_general(
             tile, onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
 
     out_ref[:, :] = jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, acc0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "k"))
-def _row_gather_tpu(tbl_tiles, idx_flat, n_rows: int, k: int):
+@functools.partial(jax.jit, static_argnames=("n_rows", "k", "exact"))
+def _row_gather_tpu(tbl_tiles, idx_flat, n_rows: int, k: int,
+                    exact: bool = True):
     n_tiles = tbl_tiles.shape[0]
     m = idx_flat.shape[0]
     pad = (-m) % Q
     idx_p = jnp.pad(idx_flat, (0, pad)).reshape(-1, 1, Q)
     n_blocks = idx_p.shape[0]
 
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
     outt = pl.pallas_call(
-        functools.partial(_gather_kernel, n_tiles=n_tiles, k=k),
+        functools.partial(_gather_kernel, n_tiles=n_tiles, k=k,
+                          precision=precision),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((None, 1, Q), lambda i: (i, 0, 0),
@@ -101,12 +105,15 @@ def _tileize(table):
     return jnp.moveaxis(padded.reshape(n_tiles, T, k), 1, 2), n_tiles
 
 
-def row_gather(table, idx):
+def row_gather(table, idx, exact: bool = True):
     """table (N, K) float; idx (...,) int32 in [0, N) → (..., K) f32.
 
-    TPU: span-binned MXU kernel (exact — one-hot row selection, f32).
-    Off-TPU: ``table[idx]``. Channel axis split automatically so each
-    kernel's table fits VMEM.
+    TPU: span-binned MXU kernel. ``exact=True`` selects full-f32 matmul
+    passes (bitwise row selection); ``exact=False`` uses the MXU's native
+    bf16 passes — values round to bf16 (~2⁻⁸ relative), which is free
+    precision-wise wherever the consumer stores bf16 anyway (the trace
+    records). Off-TPU: ``table[idx]`` (always exact). Channel axis split
+    automatically so each kernel's table fits VMEM.
     """
     if jax.default_backend() != "tpu":
         return table[idx].astype(jnp.float32)
@@ -120,12 +127,14 @@ def row_gather(table, idx):
     for c0 in range(0, k, ch_per_call):
         sub = table[:, c0:c0 + ch_per_call].astype(jnp.float32)
         tiles, nt = _tileize(sub)
-        outs.append(_row_gather_tpu(tiles, idx_flat, n, sub.shape[1]))
+        outs.append(_row_gather_tpu(tiles, idx_flat, n, sub.shape[1],
+                                    exact=exact))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     return out.reshape(*shape, k)
 
 
-def _scatter_kernel(idx_ref, cot_ref, out_ref, *, n_tiles, k):
+def _scatter_kernel(idx_ref, cot_ref, out_ref, *, n_tiles, k,
+                    precision):
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
@@ -142,7 +151,7 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref, *, n_tiles, k):
         # (K, T) = cotᵀ ·over q· onehotᵀ (both lane-major; "NT" matmul)
         add = jax.lax.dot_general(
             cott, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=precision)
         r0 = t * T
         out_ref[:, pl.ds(r0, T)] = out_ref[:, pl.ds(r0, T)] + add
         return 0
@@ -150,22 +159,27 @@ def _scatter_kernel(idx_ref, cot_ref, out_ref, *, n_tiles, k):
     jax.lax.fori_loop(t_lo, t_hi + 1, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rows", "k"))
-def _row_scatter_tpu(cot_flat, idx_flat, n_rows: int, k: int):
+@functools.partial(jax.jit, static_argnames=("n_rows", "k", "exact"))
+def _row_scatter_tpu(cot_flat, idx_flat, n_rows: int, k: int,
+                     exact: bool = True):
     m = idx_flat.shape[0]
     pad = (-m) % Q
     idx_p = jnp.pad(idx_flat, (0, pad)).reshape(-1, 1, Q)
-    cott = jnp.pad(cot_flat, ((0, pad), (0, 0))).T.reshape(k, -1, Q)
+    cott = jnp.moveaxis(
+        jnp.pad(cot_flat, ((0, pad), (0, 0))).T.reshape(k, -1, Q), 1, 0)
     n_blocks = idx_p.shape[0]
     n_tiles = -(-n_rows // T)
 
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
     outt = pl.pallas_call(
-        functools.partial(_scatter_kernel, n_tiles=n_tiles, k=k),
+        functools.partial(_scatter_kernel, n_tiles=n_tiles, k=k,
+                          precision=precision),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((None, 1, Q), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, None, Q), lambda i: (0, i, 0),
+            pl.BlockSpec((None, k, Q), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((k, n_tiles * T), lambda i: (0, 0),
@@ -176,7 +190,7 @@ def _row_scatter_tpu(cot_flat, idx_flat, n_rows: int, k: int):
     return outt.T[:n_rows]
 
 
-def row_scatter_add(cot, idx, n_rows: int):
+def row_scatter_add(cot, idx, n_rows: int, exact: bool = True):
     """Adjoint of row_gather: Σ over queries of cot rows at idx.
 
     cot (..., K) f32, idx (...,) int32 → (n_rows, K) f32. TPU: span-binned
@@ -193,11 +207,13 @@ def row_scatter_add(cot, idx, n_rows: int):
     bytes_per_ch = n_tiles * T * 4
     ch_per_call = max(int(VMEM_TABLE_BYTES // bytes_per_ch), 1)
     if ch_per_call >= k:
-        return _row_scatter_tpu(cot_flat, idx_flat, n_rows, k)
+        return _row_scatter_tpu(cot_flat, idx_flat, n_rows, k,
+                                exact=exact)
     outs = []
     for c0 in range(0, k, ch_per_call):
         sub = cot_flat[:, c0:c0 + ch_per_call]
-        outs.append(_row_scatter_tpu(sub, idx_flat, n_rows, sub.shape[1]))
+        outs.append(_row_scatter_tpu(sub, idx_flat, n_rows, sub.shape[1],
+                                     exact=exact))
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -216,12 +232,12 @@ def row_gather_diff(table, idx):
 
 def _row_gather_diff_fwd(table, idx):
     proto = jnp.zeros((0,), table.dtype)   # dtype token (a valid JAX type)
-    return row_gather(table, idx), (idx, table.shape[0], proto)
+    return row_gather(table, idx, exact=False), (idx, table.shape[0], proto)
 
 
 def _row_gather_diff_bwd(res, cot):
     idx, n_rows, proto = res
-    g = row_scatter_add(cot, idx, n_rows).astype(proto.dtype)
+    g = row_scatter_add(cot, idx, n_rows, exact=False).astype(proto.dtype)
     return (g, None)
 
 

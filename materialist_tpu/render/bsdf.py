@@ -67,7 +67,10 @@ def _reuse_gather_fwd(table, idx, primal):
 def _reuse_gather_bwd(res, cot):
     idx, table = res
     from materialist_tpu.ops.pallas.rowops import row_scatter_add
-    g = row_scatter_add(cot, idx, table.shape[0]).astype(table.dtype)
+    # fast mode: contributions round to bf16 before the f32 accumulation —
+    # far below the MC gradient noise at any practical spp
+    g = row_scatter_add(cot, idx, table.shape[0],
+                        exact=False).astype(table.dtype)
     return (g, None, None)
 
 

@@ -50,21 +50,32 @@ print(f"== N={N} K={K} M={M} ==")
 xla_gather = jax.jit(lambda t, i: t[i])
 xla_scatter = jax.jit(
     lambda c, i: jnp.zeros((N, 8), jnp.float32).at[i].add(c))
-pl_gather = jax.jit(lambda t, i: rowops.row_gather(t, i))
-pl_scatter = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N))
+pl_gather = jax.jit(lambda t, i: rowops.row_gather(t, i, exact=True))
+pl_gather_f = jax.jit(lambda t, i: rowops.row_gather(t, i, exact=False))
+pl_scatter = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N,
+                                                         exact=True))
+pl_scatter_f = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N,
+                                                           exact=False))
 
 timeit("XLA row-gather 12ch", xla_gather, table, idx_coh)
-timeit("pallas row-gather 12ch coherent", pl_gather, table, idx_coh)
-timeit("pallas row-gather 12ch random", pl_gather, table, idx_rnd)
+timeit("pallas row-gather exact coherent", pl_gather, table, idx_coh)
+timeit("pallas row-gather fast  coherent", pl_gather_f, table, idx_coh)
+timeit("pallas row-gather fast  random", pl_gather_f, table, idx_rnd)
 timeit("XLA scatter-add 8ch", xla_scatter, cot, idx_coh)
-timeit("pallas scatter-add 8ch coherent", pl_scatter, cot, idx_coh)
-timeit("pallas scatter-add 8ch random", pl_scatter, cot, idx_rnd)
+timeit("pallas scatter-add exact coherent", pl_scatter, cot, idx_coh)
+timeit("pallas scatter-add fast  coherent", pl_scatter_f, cot, idx_coh)
+timeit("pallas scatter-add fast  random", pl_scatter_f, cot, idx_rnd)
 
 # correctness on-device
 g1 = np.asarray(xla_gather(table, idx_coh[:4096]))
-g2 = np.asarray(pl_gather(table, idx_coh[:4096]))
-np.testing.assert_array_equal(g1, g2)
+np.testing.assert_array_equal(g1, np.asarray(pl_gather(table,
+                                                       idx_coh[:4096])))
+np.testing.assert_allclose(g1, np.asarray(pl_gather_f(table,
+                                                      idx_coh[:4096])),
+                           rtol=8e-3, atol=1e-5)
 s1 = np.asarray(xla_scatter(cot, idx_coh))
-s2 = np.asarray(pl_scatter(cot, idx_coh))
-np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-4)
+np.testing.assert_allclose(s1, np.asarray(pl_scatter(cot, idx_coh)),
+                           rtol=1e-6, atol=1e-4)
+np.testing.assert_allclose(s1, np.asarray(pl_scatter_f(cot, idx_coh)),
+                           rtol=8e-3, atol=4e-2)
 print("correctness: OK")
