@@ -234,7 +234,17 @@ def _interp_cdf(cdf_val_at, cdf_val_prev, x):
 def sample_dir(sampler: EnvmapSampler, u2):
     """Decision half of ``sample``: (wi, pdf) without the radiance lookup
     (used by the non-differentiable trace pass — the shadow march needs
-    the direction, not the emitter value)."""
+    the direction, not the emitter value).
+
+    On TPU, small-map sampling runs in a fused Pallas kernel
+    (ops/pallas/envkernels.py): the XLA one-hot formulation materializes
+    (…, W) HBM intermediates that dominated the trace pass. The kernel is
+    an estimator decision — NOT differentiable (neither is this path:
+    ``sample`` detaches wi/pdf)."""
+    if (isinstance(sampler, EnvmapSampler)
+            and jax.default_backend() == "tpu"):
+        from materialist_tpu.ops.pallas import envkernels as ek
+        return ek.env_sample_dir(sampler, u2)
     wi, pdf, _ = sample(sampler, u2, with_radiance=False)
     return wi, pdf
 
@@ -322,7 +332,14 @@ def _sample_flat(sampler: FlatEnvmapSampler, u2, with_radiance: bool):
 
 
 def pdf_dir(sampler, d):
-    """Density of ``sample`` at an arbitrary direction (for MIS weights)."""
+    """Density of ``sample`` at an arbitrary direction (for MIS weights).
+
+    TPU small-map path: fused Pallas kernel (detached — all call sites
+    stop-gradient the MIS pdfs, mi_plugin.py:366 semantics)."""
+    if (isinstance(sampler, EnvmapSampler)
+            and jax.default_backend() == "tpu"):
+        from materialist_tpu.ops.pallas import envkernels as ek
+        return ek.env_pdf_dir(sampler, d)
     env = sampler.envmap
     h, w = env.shape[0], env.shape[1]
     u, v = dir_to_uv(d, h, w)

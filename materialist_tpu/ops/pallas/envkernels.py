@@ -1,0 +1,247 @@
+"""Fused envmap CDF sampling / pdf kernels for small (optimized) emitters.
+
+The trace pass draws one NEE sample and evaluates one MIS pdf per path
+vertex. The XLA formulation (ops/envmap.py) uses one-hot contractions —
+correct and differentiable, but it materializes (s·n, W)[, H] bf16
+intermediates in HBM (~67 MB each at 512²×chunk4, several per bounce):
+measured 22 ms (sample) + 10 ms (pdf) per 1M queries, ~35-40% of the
+whole trace pass with its spill traffic.
+
+These kernels keep the CDF/pdf tables (≤64×64) entirely in VMEM/SMEM and
+resolve each (8,128) block of queries with vreg-local table reads:
+
+* marginal row: H scalar-broadcast compares against m_cdf (SMEM);
+* conditional column: binary search over the row's CDF — log2(W) flat
+  (8,128)-plane gathers;
+* direction + solid-angle pdf math on the VPU (sin/cos in-kernel).
+
+Everything here is an estimator DECISION (stop-gradient in the shader),
+so no VJP is needed. Off-TPU callers keep the XLA path; semantics match
+ops/envmap.py::sample_dir / pdf_dir (tested in tests/test_envkernels.py,
+interpret mode + `-m tpu` on hardware).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+PI = math.pi
+_PLANE = 1024
+Q_SUB, Q_LANE = 8, 128   # queries per grid step: one (8,128) vreg block
+
+
+def _plane_pad(table2d):
+    """(H, W) → (8·P, 128) plane stack (row-major flat)."""
+    h, w = table2d.shape
+    n = h * w
+    planes = -(-n // _PLANE)
+    flat = table2d.reshape(-1)
+    if planes * _PLANE - n:
+        flat = jnp.pad(flat, (0, planes * _PLANE - n))
+    return flat.reshape(planes * 8, 128), planes
+
+
+def _lookup_plane(planes_ref, n_planes, flat_idx):
+    """(8,128) int32 flat idx → (8,128) f32 from an (n_planes·8, 128)
+    stack (same composed-vreg-gather trick as the march kernel)."""
+    plane_id = flat_idx // _PLANE
+    within = flat_idx - plane_id * _PLANE
+    v = within // 128
+    u = within - v * 128
+    rows = []
+    for r in range(8):
+        u_b = jnp.broadcast_to(u[r:r + 1, :], (8, 128))
+        v_b = jnp.broadcast_to(v[r:r + 1, :], (8, 128))
+        pid = plane_id[r:r + 1, :]
+        acc = jnp.zeros((1, 128), jnp.float32)
+        for p in range(n_planes):
+            plane = planes_ref[8 * p:8 * p + 8, :]
+            b = jnp.take_along_axis(plane, u_b, axis=1)
+            val = jnp.take_along_axis(b, v_b, axis=0)[0:1, :]
+            acc = val if n_planes == 1 else jnp.where(pid == p, val, acc)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def _make_sample_kernel(h: int, w: int, c_planes: int):
+    # lower_bound needs ceil(log2(w)) + 1 halvings to drain size w → 0
+    log2w = max(int(math.ceil(math.log2(w))), 1) + 1
+
+    def kernel(mcdf_ref, mpdf_ref, ccdf_ref, cpdf_ref, u_ref,
+               wix_ref, wiy_ref, wiz_ref, pdf_ref):
+        x0 = u_ref[0]                                  # (8,128)
+        x1 = u_ref[1]
+
+        # ---- marginal row: v_idx = #(m_cdf < x0), plus at/prev/pdf — all
+        # via H scalar-broadcast reads from SMEM (no vector gathers)
+        zeros = jnp.zeros((Q_SUB, Q_LANE), jnp.float32)
+        v_cnt = jnp.zeros((Q_SUB, Q_LANE), jnp.int32)
+        for r in range(h):
+            v_cnt = v_cnt + (mcdf_ref[r] < x0).astype(jnp.int32)
+        v_idx = jnp.minimum(v_cnt, h - 1)
+        at_m = zeros
+        prev_m = zeros
+        pdf_m = zeros
+        for r in range(h):
+            sel = v_idx == r
+            at_m = jnp.where(sel, mcdf_ref[r], at_m)
+            prev_m = jnp.where(sel, mcdf_ref[r - 1] if r > 0 else 0.0,
+                               prev_m)
+            pdf_m = jnp.where(sel, mpdf_ref[r], pdf_m)
+        dv = jnp.clip((x0 - prev_m) / jnp.maximum(at_m - prev_m, 1e-12),
+                      0.0, 1.0)
+
+        # ---- conditional column: lower_bound over the row's CDF by
+        # binary search (log2(W) flat-plane gathers)
+        row0 = v_idx * w
+        lo = jnp.zeros((Q_SUB, Q_LANE), jnp.int32)
+        size = jnp.full((Q_SUB, Q_LANE), w, jnp.int32)
+        for _ in range(log2w):
+            half = size // 2
+            mid = lo + half
+            val = _lookup_plane(ccdf_ref, c_planes,
+                                row0 + jnp.minimum(mid, w - 1))
+            go_right = (val < x1) & (size > 0)
+            lo = jnp.where(go_right, mid + 1, lo)
+            size = jnp.where(go_right, size - half - 1, half)
+        u_idx = jnp.minimum(lo, w - 1)
+
+        at_c = _lookup_plane(ccdf_ref, c_planes, row0 + u_idx)
+        prev_c = jnp.where(
+            u_idx > 0,
+            _lookup_plane(ccdf_ref, c_planes,
+                          row0 + jnp.maximum(u_idx - 1, 0)), 0.0)
+        du = jnp.clip((x1 - prev_c) / jnp.maximum(at_c - prev_c, 1e-12),
+                      0.0, 1.0)
+        pdf_c = _lookup_plane(cpdf_ref, c_planes, row0 + u_idx)
+
+        # ---- direction + solid-angle pdf (envmap.py::uv_to_dir)
+        uu = u_idx.astype(jnp.float32) + du
+        vv = v_idx.astype(jnp.float32) + dv
+        phi = (2.0 * PI / w) * uu
+        theta = (PI / h) * vv
+        st = jnp.sin(theta)
+        wix_ref[:, :] = st * jnp.sin(phi)
+        wiy_ref[:, :] = jnp.cos(theta)
+        wiz_ref[:, :] = -st * jnp.cos(phi)
+        pdf_ref[:, :] = (h * w) * (pdf_c * pdf_m) / (
+            2.0 * PI * PI * jnp.maximum(st, 1e-6))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _env_sample_tpu(m_cdf, m_pdf, c_cdf_planes, c_pdf_planes, u2_flat,
+                    h: int, w: int):
+    m = u2_flat.shape[0]
+    pad = (-m) % _PLANE
+    u_p = jnp.pad(u2_flat, ((0, pad), (0, 0)))
+    n_blocks = u_p.shape[0] // _PLANE
+    u_t = jnp.moveaxis(u_p.reshape(n_blocks, 8, 128, 2), 3, 1)
+
+    c_planes = c_cdf_planes.shape[0] // 8
+    out_shape = [jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32)] * 4
+    tile = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_sample_kernel(h, w, c_planes),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((c_planes * 8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_planes * 8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple([tile] * 4),
+        out_shape=tuple(out_shape),
+        interpret=_INTERPRET,
+    )(m_cdf, m_pdf, c_cdf_planes, c_pdf_planes, u_t)
+    wi = jnp.stack([o.reshape(-1)[:m] for o in outs[:3]], axis=-1)
+    pdf = outs[3].reshape(-1)[:m]
+    return wi, pdf
+
+
+def env_sample_dir(sampler, u2):
+    """Pallas sample_dir for small EnvmapSampler tables (TPU only).
+
+    Bitwise-comparable semantics to ops/envmap.py::sample_dir (same CDF
+    inversion, same interpolation, same pdf); returns (wi (...,3),
+    pdf (...,1))."""
+    env = sampler.envmap
+    h, w = env.shape[0], env.shape[1]
+    cc, _ = _plane_pad(sampler.c_cdf)
+    cp, _ = _plane_pad(sampler.c_pdf)
+    shape = u2.shape[:-1]
+    wi, pdf = _env_sample_tpu(sampler.m_cdf, sampler.m_pdf, cc, cp,
+                              u2.reshape(-1, 2), h, w)
+    return wi.reshape(*shape, 3), pdf.reshape(*shape, 1)
+
+
+def _make_pdf_kernel(h: int, w: int, c_planes: int):
+    def kernel(mpdf_ref, cpdf_ref, d_ref, pdf_ref):
+        dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
+        phi01 = jnp.arctan2(dx, -dz) / (2.0 * PI)
+        u = (phi01 - jnp.floor(phi01)) * w
+        cy = jnp.clip(dy, -1.0, 1.0)
+        theta = jnp.arccos(cy)
+        v = theta / PI * h
+        ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+
+        pdf_m = jnp.zeros((Q_SUB, Q_LANE), jnp.float32)
+        for r in range(h):
+            pdf_m = jnp.where(vi == r, mpdf_ref[r], pdf_m)
+        pdf_c = _lookup_plane(cpdf_ref, c_planes, vi * w + ui)
+        st = jnp.maximum(jnp.sin(theta), 1e-6)
+        pdf_ref[:, :] = (h * w) * (pdf_c * pdf_m) / (2.0 * PI * PI * st)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _env_pdf_tpu(m_pdf, c_pdf_planes, d_flat, h: int, w: int):
+    m = d_flat.shape[0]
+    pad = (-m) % _PLANE
+    d_p = jnp.pad(d_flat, ((0, pad), (0, 0)))
+    n_blocks = d_p.shape[0] // _PLANE
+    d_t = jnp.moveaxis(d_p.reshape(n_blocks, 8, 128, 3), 3, 1)
+    c_planes = c_pdf_planes.shape[0] // 8
+
+    out = pl.pallas_call(
+        _make_pdf_kernel(h, w, c_planes),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((c_planes * 8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32),
+        interpret=_INTERPRET,
+    )(m_pdf, c_pdf_planes, d_t)
+    return out.reshape(-1)[:m]
+
+
+def env_pdf_dir(sampler, d):
+    """Pallas pdf_dir for small EnvmapSampler tables (TPU only)."""
+    env = sampler.envmap
+    h, w = env.shape[0], env.shape[1]
+    cp, _ = _plane_pad(sampler.c_pdf)
+    shape = d.shape[:-1]
+    pdf = _env_pdf_tpu(sampler.m_pdf, cp, d.reshape(-1, 3), h, w)
+    return pdf.reshape(*shape, 1)
