@@ -14,15 +14,23 @@ import numpy as np
 from materialist_tpu.camera import Camera
 
 
-def rasterize(vertices: np.ndarray, faces: np.ndarray, cam: Camera):
+def rasterize(vertices: np.ndarray, faces: np.ndarray, cam: Camera,
+              layer: str = "front"):
     """Project + z-buffer a mesh (camera at origin, -z forward).
 
-    Returns (dist (H,W) float32 — +inf where not covered, normal (H,W,3),
-    mask (H,W) bool). Vertices follow the renderer's world convention
-    (z < 0 in front of the camera).
+    Returns (dist (H,W) float32 — +inf (front) / -inf (back) where not
+    covered, normal (H,W,3), mask (H,W) bool). Vertices follow the
+    renderer's world convention (z < 0 in front of the camera).
+
+    ``layer="front"`` keeps the NEAREST surface with normals oriented
+    toward the camera; ``layer="back"`` keeps the FARTHEST surface with
+    normals oriented away — the exit interface for two-interface
+    dielectric tracing (the reference path-traces both interfaces of its
+    inserted 'dielectric' glass, render_final.py:123-136).
     """
+    front = layer == "front"
     h, w = cam.height, cam.width
-    dist = np.full((h, w), np.inf, np.float32)
+    dist = np.full((h, w), np.inf if front else -np.inf, np.float32)
     normal = np.zeros((h, w, 3), np.float32)
 
     v = vertices.astype(np.float64)
@@ -41,9 +49,10 @@ def rasterize(vertices: np.ndarray, faces: np.ndarray, cam: Camera):
     fnorm = np.cross(fverts[:, 1] - fverts[:, 0], fverts[:, 2] - fverts[:, 0])
     nrm = fnorm / np.maximum(np.linalg.norm(fnorm, axis=-1, keepdims=True),
                              1e-12)
-    # orient toward camera
+    # orient toward (front) / away from (back) the camera
     center = fverts.mean(axis=1)
-    flip = (nrm * -center).sum(-1) < 0
+    toward = (nrm * -center).sum(-1)
+    flip = (toward < 0) if front else (toward > 0)
     nrm[flip] = -nrm[flip]
 
     inv_z = 1.0 / fz                        # interpolate 1/z (perspective)
@@ -73,9 +82,9 @@ def rasterize(vertices: np.ndarray, faces: np.ndarray, cam: Camera):
             continue
         iz = l0 * inv_z[i, 0] + l1 * inv_z[i, 1] + l2 * inv_z[i, 2]
         d = 1.0 / np.maximum(iz, 1e-12)
-        closer = inside & (d < dist[y0:y1 + 1, x0:x1 + 1])
-        dist[y0:y1 + 1, x0:x1 + 1] = np.where(closer, d,
-                                              dist[y0:y1 + 1, x0:x1 + 1])
+        win = dist[y0:y1 + 1, x0:x1 + 1]
+        closer = inside & ((d < win) if front else (d > win))
+        dist[y0:y1 + 1, x0:x1 + 1] = np.where(closer, d, win)
         normal[y0:y1 + 1, x0:x1 + 1] = np.where(closer[..., None], nrm[i],
                                                 normal[y0:y1 + 1,
                                                        x0:x1 + 1])

@@ -8,10 +8,11 @@ depth_head.scratch.output_conv2 and the whole material_head scratch
 replaced by a plain jitted train step + optax.multi_transform freezing +
 host-side checkpointing (orbax-compatible trees).
 
-Note: the reference's perceptual term is LPIPS-alex; pretrained LPIPS
-weights are not shippable here (zero-egress build), so `perceptual_fn` is
-a pluggable hook (defaults to 0) — pass your own feature-space loss to
-reproduce the exact recipe.
+Note: the reference's perceptual term is LPIPS-alex
+(train_matnet.py:107-109). The exact network + torch-weight converter
+live in models/lpips.py — pass ``lpips.load_lpips(weights_path)`` as
+``perceptual_fn`` to reproduce the reference recipe; only the weights
+file is an input (zero-egress build). Defaults to 0 when omitted.
 """
 
 from __future__ import annotations

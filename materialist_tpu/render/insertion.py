@@ -21,7 +21,6 @@ import numpy as np
 from materialist_tpu.camera import Camera, normals_from_depth
 from materialist_tpu.geometry.ply import read_ply
 from materialist_tpu.geometry.raster import rasterize
-from materialist_tpu.render import bsdf as bsdf_mod
 from materialist_tpu.render import forward
 from materialist_tpu.render.scene import GBuffer, Materials
 
@@ -59,58 +58,65 @@ def render_insert(scene_dir: str, mat: dict, gbuf: GBuffer, cam: Camera,
                   envmap, n_iter: int = 10, spp: int = 32,
                   seed: int = 0) -> np.ndarray:
     """Render the scene with oi.ply / oi2.ply inserted
-    (render_final.py:207-237; spp 32 ×10 passes averaged)."""
-    meshes = []
-    kinds = []
+    (render_final.py:207-237; spp 32 ×10 passes averaged).
+
+    The diffuse insert composites into the heightfield and shades with
+    the MC estimator. The glass insert is the reference's smooth
+    dielectric (ior 1.49, 'acrylic glass'): shaded DETERMINISTICALLY by
+    two-interface refraction through its rasterized front/back layers
+    with exact Fresnel (render/glass.py) over the glass-free rendering —
+    the honest analog of Mitsuba's max_depth=16 dielectric path."""
+    from materialist_tpu.geometry.raster import rasterize
+    from materialist_tpu.render import glass as glass_mod
+
+    glass_mesh = None
+    diffuse_meshes = []
     for name, kind in (("oi.ply", "glass"), ("oi2.ply", "diffuse")):
         p = os.path.join(scene_dir, name)
         if os.path.exists(p):
             v, f = read_ply(p)
-            meshes.append((v, f))
-            kinds.append(kind)
-    if not meshes:
+            if kind == "glass":
+                glass_mesh = (v, f)
+            else:
+                diffuse_meshes.append((v, f))
+    if glass_mesh is None and not diffuse_meshes:
         raise FileNotFoundError(
             f"object insertion requires oi.ply/oi2.ply in {scene_dir}")
 
-    new_gbuf, masks = composite_gbuffer(gbuf, cam, meshes)
-
-    # materials: scene maps, overridden inside the inserted masks
+    # ---- scene + diffuse insert (glass-free): the MC-estimated base
+    base_gbuf, masks = (composite_gbuffer(gbuf, cam, diffuse_meshes)
+                        if diffuse_meshes else (gbuf, []))
     albedo = np.asarray(mat["albedo"]).copy()
     rough = np.asarray(mat["roughness"]).copy()
     metal = np.asarray(mat["metallic"]).copy()
     normal = np.asarray(mat["normal"]).copy()
-    glass_mask = np.zeros(albedo.shape[:2], bool)
-    for m, kind in zip(masks, kinds):
-        if kind == "diffuse":
-            albedo[m] = 0.8
-            rough[m] = 1.0
-            metal[m] = 0.0
-        else:
-            albedo[m] = 1.0
-            rough[m] = 0.05
-            metal[m] = 0.0
-            glass_mask |= m
-        normal[m] = np.asarray(new_gbuf.normal_geo)[m]
-
+    for m in masks:
+        albedo[m] = 0.8         # diffuse 0.8 grey (render_final.py:131)
+        rough[m] = 1.0
+        metal[m] = 0.0
+        normal[m] = np.asarray(base_gbuf.normal_geo)[m]
     mats = Materials(jnp.asarray(albedo), jnp.asarray(rough),
                      jnp.asarray(metal), jnp.asarray(normal))
+    base = forward.render_averaged(base_gbuf, cam, mats, envmap,
+                                   n_iter=n_iter, spp=spp, denoise=True,
+                                   seed=seed)
+    if glass_mesh is None:
+        return base
 
-    if glass_mask.any():
-        # background for the glass = object-free render (one pass)
-        bg = forward.render_averaged(gbuf, cam,
-                                     Materials(jnp.asarray(mat["albedo"]),
-                                               jnp.asarray(mat["roughness"]),
-                                               jnp.asarray(mat["metallic"]),
-                                               jnp.asarray(mat["normal"])),
-                                     envmap, n_iter=1, spp=spp,
-                                     denoise=True, seed=seed + 77)
-        n = cam.height * cam.width
-        bsdf = bsdf_mod.transparent(
-            mats, jnp.asarray(bg), jnp.asarray(glass_mask), 0.9,
-            ACRYLIC_IOR, cam, new_gbuf.position.reshape(n, 3))
-    else:
-        bsdf = None
+    # ---- glass insert: deterministic two-interface dielectric
+    v, f = glass_mesh
+    front_d, front_n, cover = rasterize(v, f, cam, layer="front")
+    back_d, back_n, _ = rasterize(v, f, cam, layer="back")
+    scene_dist = np.asarray(base_gbuf.dist)
+    glass_mask = cover & ((front_d < scene_dist) |
+                          ~np.asarray(base_gbuf.valid))
+    if not glass_mask.any():
+        return base
 
-    return forward.render_averaged(new_gbuf, cam, mats, envmap,
-                                   n_iter=n_iter, spp=spp, bsdf=bsdf,
-                                   denoise=(bsdf is None), seed=seed)
+    l_glass = glass_mod.shade_glass(
+        cam, base_gbuf.dist, base_gbuf.valid, jnp.asarray(base), envmap,
+        front_d, front_n, back_d, back_n, jnp.asarray(glass_mask),
+        ior=ACRYLIC_IOR)
+    out = jnp.where(jnp.asarray(glass_mask)[..., None], l_glass,
+                    jnp.asarray(base))
+    return np.asarray(out)

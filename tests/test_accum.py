@@ -9,6 +9,7 @@ math) and the trace/shade split entry points themselves.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from materialist_tpu.camera import Camera
 from materialist_tpu.opt.accum import (make_accum_value_and_grad,
@@ -92,6 +93,7 @@ def test_split_accum_matches_monolithic_grad():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_split_accum_matches_legacy_retrace_accum():
     """Cached-records mode == re-trace mode == legacy render-twice accum."""
     params, loss_of_img, trace_fn, shade_fn, render_fn, _ = _accum_setup()

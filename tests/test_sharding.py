@@ -132,6 +132,7 @@ def test_train_step_params_identical_across_shards(ndev):
     assert not np.allclose(np.asarray(params["envmap"]), np.asarray(envmap))
 
 
+@pytest.mark.slow
 def test_px_sharded_render_matches_unsharded_statistically(ndev):
     """Different per-shard streams ⇒ not bitwise; but the px-sharded image
     is the same estimator at the same spp — compare against an
@@ -155,6 +156,7 @@ def test_px_sharded_render_matches_unsharded_statistically(ndev):
     assert rmse < 0.5 * ref.mean() + 0.05
 
 
+@pytest.mark.slow
 def test_px_sharded_step_grad_matches_finite_difference(ndev):
     """VERDICT r2 weak #8: the px axis needs a GRADIENT test. Finite
     differences through the px-sharded forward itself (same keys/streams)
