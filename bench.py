@@ -72,11 +72,18 @@ def main():
     gbuf = make_gbuffer(depth[..., 0], cam, flip_depth=True)
     gt_srgb = linear_to_srgb(gt)
 
-    groups = int(os.environ.get("BENCH_GROUPS", "4" if RES >= 1024
-                                else "1"))
-    cfg = RenderConfig(spp=SPP // groups, chunk=min(CHUNK, SPP // groups),
-                       replay_blob=os.environ.get("BENCH_REPLAY",
-                                                  "1") == "1")
+    # HBM-aware defaults (opt/plan.py); env vars override for experiments
+    from materialist_tpu.opt.plan import plan_step
+    plan = plan_step(RES, SPP, max_chunk=CHUNK)
+    groups = int(os.environ.get("BENCH_GROUPS", str(plan.groups)))
+    replay = (os.environ.get("BENCH_REPLAY", "1" if plan.replay_blob
+                             else "0") == "1")
+    keep_records = (os.environ.get("BENCH_KEEP_RECORDS",
+                                   "1" if plan.keep_records else "0")
+                    == "1")
+    cfg = RenderConfig(spp=SPP // groups,
+                       chunk=min(plan.chunk, SPP // groups),
+                       replay_blob=replay)
     optimizer = optax.adam(3e-4)
     params = {"mats": mats, "envmap": envmap}
     opt_state = optimizer.init(params)
@@ -110,7 +117,7 @@ def main():
 
         vg = make_accum_value_and_grad_split(
             trace_fn, shade_fn, loss_of_img, groups,
-            keep_records=os.environ.get("BENCH_KEEP_RECORDS", "1") == "1")
+            keep_records=keep_records)
 
         def step(p, s, key):
             loss, grads = vg(p, key)

@@ -177,13 +177,27 @@ def _lookup_bilinear_small_bwd(res, cot):
     envmap, u0i, u1i, v0i, v1i, du, dv = res
     h, w = envmap.shape[0], envmap.shape[1]
     c = envmap.shape[2]
-    g = jnp.zeros((h * w, c), envmap.dtype)
-    for vi, ui, wt in ((v0i, u0i, (1 - du) * (1 - dv)),
-                       (v0i, u1i, du * (1 - dv)),
-                       (v1i, u0i, (1 - du) * dv),
-                       (v1i, u1i, du * dv)):
-        g = g.at[(vi * w + ui).reshape(-1)].add(
-            (wt * cot).reshape(-1, c))
+    taps = ((v0i, u0i, (1 - du) * (1 - dv)),
+            (v0i, u1i, du * (1 - dv)),
+            (v1i, u0i, (1 - du) * dv),
+            (v1i, u1i, du * dv))
+    if jax.default_backend() == "tpu":
+        # one span-binned MXU scatter for all 4 taps: the emitter is ≤8
+        # row-tiles, so every query block sweeps ≤8 one-hot matmuls no
+        # matter how incoherent the directions — ~15 ms vs 4 serialized
+        # XLA scatters at ~240 ms for 8.4M queries (measured r3)
+        from materialist_tpu.ops.pallas.rowops import row_scatter_add
+        idx_all = jnp.concatenate(
+            [(vi * w + ui).reshape(-1) for vi, ui, _ in taps])
+        cot_all = jnp.concatenate(
+            [(wt * cot).reshape(-1, c) for _, _, wt in taps])
+        g = row_scatter_add(cot_all, idx_all, h * w,
+                            coherent=True).astype(envmap.dtype)
+    else:
+        g = jnp.zeros((h * w, c), envmap.dtype)
+        for vi, ui, wt in taps:
+            g = g.at[(vi * w + ui).reshape(-1)].add(
+                (wt * cot).reshape(-1, c))
     return (g.reshape(envmap.shape), None, None, None, None, None, None)
 
 

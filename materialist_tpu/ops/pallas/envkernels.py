@@ -190,21 +190,18 @@ def env_sample_dir(sampler, u2):
 
 
 def _make_pdf_kernel(h: int, w: int, c_planes: int):
-    def kernel(mpdf_ref, cpdf_ref, d_ref, pdf_ref):
-        dx, dy, dz = d_ref[0], d_ref[1], d_ref[2]
-        phi01 = jnp.arctan2(dx, -dz) / (2.0 * PI)
-        u = (phi01 - jnp.floor(phi01)) * w
-        cy = jnp.clip(dy, -1.0, 1.0)
-        theta = jnp.arccos(cy)
-        v = theta / PI * h
-        ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
-        vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+    # Mosaic has no atan2/acos lowering: the direction→(u,v,sinθ) mapping
+    # runs in XLA (elementwise, fuses into the caller) and arrives as
+    # channels [ui, vi, st] (small ints exact in f32).
+    def kernel(mpdf_ref, cpdf_ref, q_ref, pdf_ref):
+        ui = q_ref[0].astype(jnp.int32)
+        vi = q_ref[1].astype(jnp.int32)
+        st = q_ref[2]
 
         pdf_m = jnp.zeros((Q_SUB, Q_LANE), jnp.float32)
         for r in range(h):
             pdf_m = jnp.where(vi == r, mpdf_ref[r], pdf_m)
         pdf_c = _lookup_plane(cpdf_ref, c_planes, vi * w + ui)
-        st = jnp.maximum(jnp.sin(theta), 1e-6)
         pdf_ref[:, :] = (h * w) * (pdf_c * pdf_m) / (2.0 * PI * PI * st)
 
     return kernel
@@ -213,8 +210,18 @@ def _make_pdf_kernel(h: int, w: int, c_planes: int):
 @functools.partial(jax.jit, static_argnames=("h", "w"))
 def _env_pdf_tpu(m_pdf, c_pdf_planes, d_flat, h: int, w: int):
     m = d_flat.shape[0]
+    # direction → integer texel + sinθ (ops/envmap.py::dir_to_uv semantics)
+    phi01 = jnp.arctan2(d_flat[:, 0], -d_flat[:, 2]) / (2.0 * PI)
+    u = (phi01 - jnp.floor(phi01)) * w
+    theta = jnp.arccos(jnp.clip(d_flat[:, 1], -1.0, 1.0))
+    v = theta / PI * h
+    q = jnp.stack([jnp.clip(u, 0, w - 1).astype(jnp.int32)
+                   .astype(jnp.float32),
+                   jnp.clip(v, 0, h - 1).astype(jnp.int32)
+                   .astype(jnp.float32),
+                   jnp.maximum(jnp.sin(theta), 1e-6)], axis=-1)
     pad = (-m) % _PLANE
-    d_p = jnp.pad(d_flat, ((0, pad), (0, 0)))
+    d_p = jnp.pad(q, ((0, pad), (0, 0)))
     n_blocks = d_p.shape[0] // _PLANE
     d_t = jnp.moveaxis(d_p.reshape(n_blocks, 8, 128, 3), 3, 1)
     c_planes = c_pdf_planes.shape[0] // 8

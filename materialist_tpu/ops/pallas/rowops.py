@@ -48,6 +48,12 @@ Q = 1024           # queries per grid step (one lane-major (1, 1024) row)
 T = 512            # rows per table tile
 VMEM_TABLE_BYTES = 72 * 1024 * 1024    # of the 128 MB/core on v5e
 
+# Mosaic's default scoped-VMEM limit is 16 MB; the VMEM-resident table /
+# accumulator design needs the real budget (measured 128 MB on v5e —
+# leave headroom for the double-buffered idx/cot/out blocks)
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _gather_kernel(idx_ref, tbl_ref, out_ref, *, n_tiles, k, precision):
     idxb = idx_ref[0:1, :]        # (1, Q) int32 lanes (None dim squeezed)
@@ -92,6 +98,7 @@ def _row_gather_tpu(tbl_tiles, idx_flat, n_rows: int, k: int,
         out_specs=pl.BlockSpec((None, k, Q), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, k, Q), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_INTERPRET,
     )(idx_p, tbl_tiles)
     return jnp.moveaxis(outt, 1, 2).reshape(-1, k)[:m]
@@ -105,17 +112,23 @@ def _tileize(table):
     return jnp.moveaxis(padded.reshape(n_tiles, T, k), 1, 2), n_tiles
 
 
-def row_gather(table, idx, exact: bool = True):
+def row_gather(table, idx, exact: bool = True, coherent: bool = False):
     """table (N, K) float; idx (...,) int32 in [0, N) → (..., K) f32.
 
-    TPU: span-binned MXU kernel. ``exact=True`` selects full-f32 matmul
-    passes (bitwise row selection); ``exact=False`` uses the MXU's native
-    bf16 passes — values round to bf16 (~2⁻⁸ relative), which is free
-    precision-wise wherever the consumer stores bf16 anyway (the trace
-    records). Off-TPU: ``table[idx]`` (always exact). Channel axis split
-    automatically so each kernel's table fits VMEM.
+    ``coherent=True`` (indices cluster within each 1024-query block —
+    sorted order, primary-bounce pixel order, contiguous row slices):
+    span-binned MXU kernel, measured 30 ms / 8.4M×13ch on v5e.
+    ``coherent=False`` (DEFAULT — secondary-bounce hit indices span the
+    whole table; measured r3: mean block span 1943/2048 tiles on the
+    indoor fixture, making the span sweep ~2 s/call): XLA's serialized
+    gather, ~8.2 ns/row INDEPENDENT of row width (69 ms / 8.4M).
+
+    ``exact=True`` selects full-f32 matmul passes in the kernel (bitwise
+    row selection); ``exact=False`` uses the MXU's native bf16 passes —
+    values round to bf16 (~2⁻⁸ relative), free wherever the consumer
+    stores bf16 anyway. Off-TPU: ``table[idx]`` (always exact).
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or not coherent:
         return table[idx].astype(jnp.float32)
     n, k = table.shape
     shape = idx.shape
@@ -185,24 +198,41 @@ def _row_scatter_tpu(cot_flat, idx_flat, n_rows: int, k: int,
         out_specs=pl.BlockSpec((k, n_tiles * T), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n_tiles * T), jnp.float32),
+        compiler_params=_COMPILER_PARAMS,
         interpret=_INTERPRET,
     )(idx_p, cott)
     return outt.T[:n_rows]
 
 
-def row_scatter_add(cot, idx, n_rows: int, exact: bool = True):
+def row_scatter_add(cot, idx, n_rows: int, exact: bool = True,
+                    coherent: bool = False):
     """Adjoint of row_gather: Σ over queries of cot rows at idx.
 
-    cot (..., K) f32, idx (...,) int32 → (n_rows, K) f32. TPU: span-binned
-    MXU kernel with the output resident in VMEM (channel-split when
-    n_rows·K·4 exceeds the VMEM budget). Off-TPU: ``zeros.at[idx].add``.
-    Padding rows contribute zero cotangent.
+    cot (..., K) f32, idx (...,) int32 → (n_rows, K) f32.
+
+    ``coherent=False`` (DEFAULT — unstructured indices): sort-then-span.
+    argsort the indices (28 ms / 8.4M on v5e — XLA's TPU sort is fast),
+    permute the cotangents into sorted order with ONE serialized gather
+    (69 ms, width-independent), then run the span-binned MXU kernel on
+    the now perfectly coherent stream (26 ms). Total ~123 ms vs XLA's
+    ``.at[idx].add`` at 726 ms (hints don't help; measured r3).
+    ``coherent=True``: indices already cluster per block — straight to
+    the span kernel. Off-TPU: ``zeros.at[idx].add``. Padding rows
+    contribute zero cotangent.
     """
     k = cot.shape[-1]
     cot_flat = cot.reshape(-1, k).astype(jnp.float32)
     idx_flat = idx.reshape(-1)
     if jax.default_backend() != "tpu":
         return jnp.zeros((n_rows, k), jnp.float32).at[idx_flat].add(cot_flat)
+    if not coherent:
+        # lax.sort carries the permutation as payload, so the sorted keys
+        # come out of the sort network directly — only the (wide) cot rows
+        # pay the one serialized permutation gather
+        idx_flat, perm = jax.lax.sort(
+            (idx_flat, jnp.arange(idx_flat.shape[0], dtype=jnp.int32)),
+            num_keys=1)
+        cot_flat = cot_flat[perm]
     n_tiles = -(-n_rows // T)
     bytes_per_ch = n_tiles * T * 4
     ch_per_call = max(int(VMEM_TABLE_BYTES // bytes_per_ch), 1)

@@ -362,9 +362,11 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             rec_blob = None
             rec_nrm = None
         elif k_blob is not None:
-            # span-binned Pallas row gather (ops/pallas/rowops.py): XLA's
-            # serialized gather was ~14 ns/row — one of the three largest
-            # step components at 4-17M rows/step
+            # ONE wide row fetch per bounce (ops/pallas/rowops.py):
+            # secondary-bounce hit indices span the whole table (measured
+            # r3: ~1990/2048 tiles per 1024-query block), so this routes
+            # to XLA's serialized gather — ~8 ns/row INDEPENDENT of row
+            # width, which is why the 13 channels ride one gather
             from materialist_tpu.ops.pallas.rowops import row_gather
             fetched = row_gather(combo, idx, exact=False)
             blob = fetched[..., :k_blob]

@@ -50,21 +50,32 @@ print(f"== N={N} K={K} M={M} ==")
 xla_gather = jax.jit(lambda t, i: t[i])
 xla_scatter = jax.jit(
     lambda c, i: jnp.zeros((N, 8), jnp.float32).at[i].add(c))
-pl_gather = jax.jit(lambda t, i: rowops.row_gather(t, i, exact=True))
-pl_gather_f = jax.jit(lambda t, i: rowops.row_gather(t, i, exact=False))
+pl_gather = jax.jit(lambda t, i: rowops.row_gather(t, i, exact=True,
+                                                   coherent=True))
+pl_gather_f = jax.jit(lambda t, i: rowops.row_gather(t, i, exact=False,
+                                                     coherent=True))
 pl_scatter = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N,
-                                                         exact=True))
+                                                         exact=True,
+                                                         coherent=True))
 pl_scatter_f = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N,
-                                                           exact=False))
+                                                           exact=False,
+                                                           coherent=True))
+# default (coherent=False): sort → permute → span kernel
+pl_scatter_sort = jax.jit(lambda c, i: rowops.row_scatter_add(c, i, N,
+                                                              exact=True))
 
 timeit("XLA row-gather 12ch", xla_gather, table, idx_coh)
-timeit("pallas row-gather exact coherent", pl_gather, table, idx_coh)
-timeit("pallas row-gather fast  coherent", pl_gather_f, table, idx_coh)
-timeit("pallas row-gather fast  random", pl_gather_f, table, idx_rnd)
+timeit("pallas span-gather exact coherent", pl_gather, table, idx_coh)
+timeit("pallas span-gather fast  coherent", pl_gather_f, table, idx_coh)
+timeit("pallas span-gather fast  random", pl_gather_f, table, idx_rnd)
 timeit("XLA scatter-add 8ch", xla_scatter, cot, idx_coh)
-timeit("pallas scatter-add exact coherent", pl_scatter, cot, idx_coh)
-timeit("pallas scatter-add fast  coherent", pl_scatter_f, cot, idx_coh)
-timeit("pallas scatter-add fast  random", pl_scatter_f, cot, idx_rnd)
+timeit("pallas span-scatter exact coherent", pl_scatter, cot, idx_coh)
+timeit("pallas span-scatter fast  coherent", pl_scatter_f, cot, idx_coh)
+timeit("pallas span-scatter fast  random", pl_scatter_f, cot, idx_rnd)
+timeit("sort+span scatter (default) coherent", pl_scatter_sort, cot,
+       idx_coh)
+timeit("sort+span scatter (default) random", pl_scatter_sort, cot,
+       idx_rnd)
 
 # correctness on-device
 g1 = np.asarray(xla_gather(table, idx_coh[:4096]))
@@ -78,4 +89,9 @@ np.testing.assert_allclose(s1, np.asarray(pl_scatter(cot, idx_coh)),
                            rtol=1e-6, atol=1e-4)
 np.testing.assert_allclose(s1, np.asarray(pl_scatter_f(cot, idx_coh)),
                            rtol=8e-3, atol=4e-2)
+np.testing.assert_allclose(s1, np.asarray(pl_scatter_sort(cot, idx_coh)),
+                           rtol=1e-6, atol=1e-4)
+s2 = np.asarray(xla_scatter(cot, idx_rnd))
+np.testing.assert_allclose(s2, np.asarray(pl_scatter_sort(cot, idx_rnd)),
+                           rtol=1e-6, atol=1e-4)
 print("correctness: OK")

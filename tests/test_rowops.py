@@ -54,13 +54,27 @@ def test_channel_split_paths(monkeypatch):
     monkeypatch.setattr(rowops, "VMEM_TABLE_BYTES", 1024 * 16)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     table, idx = _mk(600, 6, 512, True)
-    out = rowops.row_gather(table, idx.reshape(4, 128))
+    out = rowops.row_gather(table, idx.reshape(4, 128), coherent=True)
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(table)[np.asarray(idx)].reshape(4, 128, 6))
 
     cot = jnp.asarray(np.random.RandomState(0).randn(512, 6)
                       .astype(np.float32))
-    out2 = rowops.row_scatter_add(cot, idx, 600)
+    out2 = rowops.row_scatter_add(cot, idx, 600, coherent=True)
     ref = np.zeros((600, 6), np.float32)
     np.add.at(ref, np.asarray(idx), np.asarray(cot))
     np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-6, atol=1e-5)
+
+
+def test_sort_scatter_matches_reference(monkeypatch):
+    """The incoherent path (argsort → permute → span kernel on the sorted
+    stream) must equal a plain indexed scatter-add."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.RandomState(7)
+    n, k, m = 1500, 5, 4096
+    idx = rng.randint(0, n, size=m).astype(np.int32)     # fully incoherent
+    cot = rng.randn(m, k).astype(np.float32)
+    out = rowops.row_scatter_add(jnp.asarray(cot), jnp.asarray(idx), n)
+    ref = np.zeros((n, k), np.float32)
+    np.add.at(ref, idx, cot)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
