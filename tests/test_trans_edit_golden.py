@@ -155,9 +155,8 @@ def test_trans_edit_matches_committed_golden(renders):
     gold = image_io.read(GOLDEN)[..., :3]
     if gold.ndim == 2:
         gold = gold[..., None].repeat(3, -1)
-    # image_io.read decodes sRGB→linear for .png; re-encode to compare in
-    # the stored space
-    gold_srgb = np.clip(gold, 0.0, 1.0) ** (1 / 2.2)
-    mse = float(np.mean((srgb - gold_srgb) ** 2))
+    # image_io.read returns PNG values AS STORED (no transfer decode) —
+    # both sides are already in the written display space
+    mse = float(np.mean((srgb - gold) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 30.0, f"trans_edit drifted from golden: {psnr:.2f} dB"
