@@ -37,7 +37,9 @@ from materialist_tpu.opt.callbacks import EarlyStopping, SaveBest
 from materialist_tpu.opt import schedules
 from materialist_tpu.ops.color import linear_to_srgb
 from materialist_tpu.render.scene import GBuffer, Materials
-from materialist_tpu.render.shader import RenderConfig, render
+from materialist_tpu.render.shader import (RenderConfig, render,
+                                           shade_from_records,
+                                           trace_step_records)
 from materialist_tpu.utils.profiling import JsonlLogger, PhaseTimer
 
 
@@ -69,6 +71,21 @@ class InverseOptions:
     # positions during the inverse optimization (inverse_img_w_mi.py:37-43),
     # and the forward renderer (render/forward.py) uses jitter 0.5, so the
     # optimizer must fit the same estimator (round-2 VERDICT item 4)
+    trace_every: int = 1  # re-run the trace pass (marches + sampling
+    # decisions) every K epochs and reuse its records in between. The
+    # geometry is STATIC across the whole optimization, and the estimator
+    # is detached-sampling with RECORDED pdfs — reused records stay a
+    # valid importance-sampled estimate of the current radiance because
+    # the pdf always matches the draw that produced each direction.
+    # Exact in the envmap phase (materials frozen ⇒ records bit-identical;
+    # only the NEE CDF goes stale, which is pdf-consistent ⇒ unbiased).
+    # In material phases the replayed secondary-bounce rows lag ≤K Adam
+    # steps (primary-bounce materials — the dominant term — are always
+    # current). K≈8 cuts the march+gather cost of the step by ~K× at
+    # matched gradient quality; 1 reproduces the reference's
+    # re-trace-every-iteration behavior exactly. Mitsuba/Dr.Jit cannot do
+    # this (the megakernel interleaves trace and shade); on TPU the two
+    # passes are already separate programs.
 
 
 def _render_cfg(opts: InverseOptions) -> RenderConfig:
@@ -157,10 +174,21 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
     mask = mat.get("mask")
 
     # ---------------- jitted phase steps (compiled once per phase kind)
-    def env_loss(p, mats: Materials, k):
-        env = envmap_net.apply({"params": p}, start_env).reshape(
+    # Every step renders as shade(records): with trace_every == 1 the
+    # records are rebuilt in the same epoch (reference behavior); with
+    # K > 1 they are refreshed every K epochs and reused in between (see
+    # InverseOptions.trace_every for the estimator-correctness argument).
+    def _env_of(p):
+        return envmap_net.apply({"params": p}, start_env).reshape(
             env_h, env_w, 3)
-        img = render(k, cfg, cam, gbuf, mats, env)
+
+    @jax.jit
+    def env_trace(p, mats: Materials, k):
+        return trace_step_records(k, cfg, cam, gbuf, mats, _env_of(p))
+
+    def env_loss(p, mats: Materials, records, k_tr):
+        env = _env_of(p)
+        img = shade_from_records(k_tr, records, cfg, cam, gbuf, mats, env)
         pred = linear_to_srgb(img)
         mse = jnp.mean((pred - gt_srgb) ** 2)
         l1 = jnp.mean(jnp.abs(pred - gt_srgb))
@@ -168,9 +196,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
 
     def make_env_step(opt):
         @jax.jit
-        def step(p, opt_state, mats, k):
+        def step(p, opt_state, mats, records, k_tr):
             (loss, (mse, env, img)), grads = jax.value_and_grad(
-                env_loss, has_aux=True)(p, mats, k)
+                env_loss, has_aux=True)(p, mats, records, k_tr)
             updates, opt_state = opt.update(grads, opt_state, p)
             p = optax.apply_updates(p, updates)
             return p, opt_state, loss, mse, env, img
@@ -205,12 +233,17 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             nrm = sg(cur["normal"])
         return albedo, rough, metal, nrm
 
-    def mat_loss(maps, part, envmap, k):
+    def _constrained_mats(maps):
         albedo, rough, metal, nrm = maps
         if opts.use_mask and mask is not None:
             rough, metal = _apply_mask_constraint(rough, metal, mask)
-        mats = Materials(albedo, rough, metal, nrm)
-        img = render(k, cfg, cam, gbuf, mats, envmap)
+        return Materials(albedo, rough, metal, nrm)
+
+    def mat_loss(maps, part, envmap, records, k_tr):
+        mats = _constrained_mats(maps)
+        albedo, rough, metal, nrm = mats
+        img = shade_from_records(k_tr, records, cfg, cam, gbuf, mats,
+                                 envmap)
         ratio = jnp.mean(gt_image) / jnp.maximum(
             jax.lax.stop_gradient(jnp.mean(img)), 1e-9)
         pred = linear_to_srgb(img * ratio)
@@ -231,19 +264,25 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         return loss, (mse, render_loss, aux, mats, pred)
 
     def make_mlp_step(opt, part):
-        def loss_fn(p, cur, envmap, k):
-            return mat_loss(material_maps_mlp(p, cur, part), part, envmap, k)
+        @jax.jit
+        def trace(p, cur, envmap, k):
+            mats = _constrained_mats(material_maps_mlp(p, cur, part))
+            return trace_step_records(k, cfg, cam, gbuf, mats, envmap)
+
+        def loss_fn(p, cur, envmap, records, k_tr):
+            return mat_loss(material_maps_mlp(p, cur, part), part, envmap,
+                            records, k_tr)
 
         @jax.jit
-        def step(p, opt_state, cur, envmap, k):
+        def step(p, opt_state, cur, envmap, records, k_tr):
             (loss, auxes), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, cur, envmap, k)
+                loss_fn, has_aux=True)(p, cur, envmap, records, k_tr)
             updates, opt_state = opt.update(grads, opt_state, p)
             p_new = optax.apply_updates(p, updates)
             # p (pre-update) matches the returned loss/maps — SaveBest must
             # record it, not p_new (one step stale otherwise)
             return p_new, opt_state, loss, auxes, p
-        return step
+        return step, trace
 
     def make_direct_step(opt, part):
         def clamp_maps(params, cur):
@@ -261,17 +300,23 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 nrm = cur["normal"]
             return albedo, rough, metal, nrm
 
-        def loss_fn(params, cur, envmap, k):
-            return mat_loss(clamp_maps(params, cur), part, envmap, k)
+        @jax.jit
+        def trace(params, cur, envmap, k):
+            mats = _constrained_mats(clamp_maps(params, cur))
+            return trace_step_records(k, cfg, cam, gbuf, mats, envmap)
+
+        def loss_fn(params, cur, envmap, records, k_tr):
+            return mat_loss(clamp_maps(params, cur), part, envmap,
+                            records, k_tr)
 
         @jax.jit
-        def step(params, opt_state, cur, envmap, k):
+        def step(params, opt_state, cur, envmap, records, k_tr):
             (loss, auxes), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, cur, envmap, k)
+                loss_fn, has_aux=True)(params, cur, envmap, records, k_tr)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, auxes
-        return step
+        return step, trace
 
     # ---------------- frame helpers (host side)
     def save_env_frame(env_np, pred_srgb_np, loop_num, epoch):
@@ -327,11 +372,15 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         early = EarlyStopping(patience=patience, min_delta=0.01)
         mats_now = _mats_from_dict(mat)
         mse_val = float("nan")
+        records, k_tr = None, None
         for epoch in range(opts.num_epochs):
-            k = jax.random.fold_in(key, loop_num * 1000000 + epoch)
+            if records is None or epoch % opts.trace_every == 0:
+                k_tr = jax.random.fold_in(key, loop_num * 1000000 + epoch)
+                with timer.phase("env_trace"):
+                    records = env_trace(env_params, mats_now, k_tr)
             with timer.phase("env_step"):
                 env_params, opt_state, loss, mse, env, img = env_step(
-                    env_params, opt_state, mats_now, k)
+                    env_params, opt_state, mats_now, records, k_tr)
                 mse_val = float(mse)
             metrics.log(phase="env", loop=loop_num, epoch=epoch,
                         mse=mse_val)
@@ -409,14 +458,19 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     params["normal"] = mat["normal"]
                 cur = {k2: mat[k2] for k2 in
                        ("albedo", "roughness", "metallic", "normal")}
-                step = make_direct_step(opt, part)
+                step, trace = make_direct_step(opt, part)
                 opt_state = opt.init(params)
+                records, k_tr = None, None
                 for epoch in range(opts.num_epochs):
-                    k = jax.random.fold_in(
-                        key, loop_num * 1000000 + 500000 + epoch)
+                    if records is None or epoch % opts.trace_every == 0:
+                        k_tr = jax.random.fold_in(
+                            key, loop_num * 1000000 + 500000 + epoch)
+                        with timer.phase(f"mat_trace[{part}]"):
+                            records = trace(params, cur, env4render, k_tr)
                     with timer.phase(f"mat_direct[{part}]"):
                         params, opt_state, loss, auxes = step(
-                            params, opt_state, cur, env4render, k)
+                            params, opt_state, cur, env4render, records,
+                            k_tr)
                         mse, render_loss, aux, mats_cur, pred = auxes
                         mse_val = float(mse)
                     metrics.log(phase=f"mat_direct[{part}]", loop=loop_num,
@@ -438,16 +492,22 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                         break
             else:
                 opt = schedules.adamw_steplr(3e-4, floor=1.5e-4)
-                step = make_mlp_step(opt, part)
+                step, trace = make_mlp_step(opt, part)
                 opt_state = opt.init(brdf_params)
                 cur = {k2: mat[k2] for k2 in
                        ("albedo", "roughness", "metallic", "normal")}
+                records, k_tr = None, None
                 for epoch in range(opts.num_epochs):
-                    k = jax.random.fold_in(
-                        key, loop_num * 1000000 + 500000 + epoch)
+                    if records is None or epoch % opts.trace_every == 0:
+                        k_tr = jax.random.fold_in(
+                            key, loop_num * 1000000 + 500000 + epoch)
+                        with timer.phase(f"mat_trace[{part}]"):
+                            records = trace(brdf_params, cur, env4render,
+                                            k_tr)
                     with timer.phase(f"mat_mlp[{part}]"):
                         brdf_params, opt_state, loss, auxes, params_pre = \
-                            step(brdf_params, opt_state, cur, env4render, k)
+                            step(brdf_params, opt_state, cur, env4render,
+                                 records, k_tr)
                         mse, render_loss, aux, mats_cur, pred = auxes
                         mse_val = float(mse)
                     metrics.log(phase=f"mat_mlp[{part}]", loop=loop_num,

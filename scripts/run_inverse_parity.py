@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=2000)
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--trace-every", type=int, default=1,
+                    help="re-trace every K epochs, reuse records between "
+                         "(InverseOptions.trace_every)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -68,8 +71,10 @@ def main():
         output_type=cfgj.get("output_type", "arm"),
         use_mesh_normal=cfgj.get("use_mesh_normal", True),
         spp=args.spp, num_epochs=args.epochs, chunk=args.chunk,
+        trace_every=args.trace_every,
         frame_every=0)
     print(f"[parity {args.scene}] epochs≤{args.epochs} spp={args.spp} "
+          f"trace_every={args.trace_every} "
           f"config={cfgj['opt_order']} model={cfgj['model_name']}",
           flush=True)
     t0 = time.time()

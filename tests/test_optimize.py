@@ -85,6 +85,39 @@ def test_material_phase_improves_albedo(synthetic, tmp_path):
                                            f))
 
 
+def test_trace_reuse_matches_per_epoch_trace(synthetic, tmp_path):
+    """trace_every=4 (records reused across epochs) must recover the
+    albedo about as well as re-tracing every epoch: the reused records
+    stay a valid detached-sampling estimate (pdfs are recorded with the
+    draws), so only ≤K-step staleness of the secondary-bounce replay
+    distinguishes the two runs."""
+    cam, gbuf, true_mats, env, gt = synthetic
+    key = jax.random.PRNGKey(5)
+    bad_albedo = jnp.clip(
+        true_mats.albedo + 0.25 * jax.random.normal(key, (32, 32, 3)), 0, 1)
+    mat = {"albedo": bad_albedo, "roughness": true_mats.roughness,
+           "metallic": true_mats.metallic, "normal": true_mats.normal,
+           "gt_image": gt, "gt_envmap": env}
+    err0 = float(jnp.abs(bad_albedo - true_mats.albedo).mean())
+
+    def run(k_trace, out):
+        opts = InverseOptions(opt_src="a", opt_order=("a",),
+                              model_name="none", spp=8, chunk=8,
+                              num_epochs=30, frame_every=0, max_loops=3,
+                              march_steps=8, shadow_steps=8,
+                              march_impl="exact", march_vectorized=True,
+                              trace_every=k_trace)
+        best = optimize(gbuf, cam, mat, str(tmp_path / out), opts)
+        return float(jnp.abs(jnp.asarray(best["albedo"])
+                             - true_mats.albedo).mean())
+
+    err_fresh = run(1, "fresh")
+    err_reuse = run(4, "reuse")
+    assert err_reuse < err0, (err0, err_reuse)
+    # within 25% of the fresh-trace recovery error (same budget)
+    assert err_reuse < err_fresh * 1.25 + 0.01, (err_fresh, err_reuse)
+
+
 def test_early_stopping_semantics():
     es = EarlyStopping(patience=2, min_delta=0.1)
     assert not es(1.0)
