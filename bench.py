@@ -29,6 +29,10 @@ import optax
 RES = int(os.environ.get("BENCH_RES", "1024"))
 SPP = int(os.environ.get("BENCH_SPP", "64"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+# production trace amortization (InverseOptions.trace_every): re-trace
+# every K steps, reuse the recorded-pdf records in between. K=1 is the
+# reference's re-trace-every-iteration behavior.
+TRACE_EVERY = int(os.environ.get("BENCH_TRACE_EVERY", "1"))
 
 
 def main():
@@ -81,9 +85,14 @@ def main():
     keep_records = (os.environ.get("BENCH_KEEP_RECORDS",
                                    "1" if plan.keep_records else "0")
                     == "1")
+    extra = {}
+    if os.environ.get("BENCH_CPU_FAST"):  # CPU smoke: avoid the
+        # statically-unrolled march (minutes of XLA-CPU compile)
+        extra = dict(march_impl="exact", march_vectorized=True,
+                     march_steps=8, shadow_steps=8)
     cfg = RenderConfig(spp=SPP // groups,
                        chunk=min(plan.chunk, SPP // groups),
-                       replay_blob=replay)
+                       replay_blob=replay, **extra)
     optimizer = optax.adam(3e-4)
     params = {"mats": mats, "envmap": envmap}
     opt_state = optimizer.init(params)
@@ -98,7 +107,7 @@ def main():
         updates, s = optimizer.update(grads, s, p)
         return optax.apply_updates(p, updates), s
 
-    if groups > 1:
+    if groups > 1 or TRACE_EVERY > 1:
         # exact host-level gradient accumulation: a single-jit step at
         # 1024²×64spp exceeds HBM no matter the chunking (see opt/accum.py).
         # Split trace/shade: records are cached between the mean pass and
@@ -119,10 +128,21 @@ def main():
             trace_fn, shade_fn, loss_of_img, groups,
             keep_records=keep_records)
 
-        def step(p, s, key):
-            loss, grads = vg(p, key)
-            p, s = apply_updates(p, s, grads)
-            return p, s, loss
+        if TRACE_EVERY > 1:
+            state = {"recs": None, "i": 0}
+
+            def step(p, s, key):
+                if state["i"] % TRACE_EVERY == 0:
+                    state["recs"] = vg.trace_all(p, key)
+                state["i"] += 1
+                loss, grads = vg(p, key, records=state["recs"])
+                p, s = apply_updates(p, s, grads)
+                return p, s, loss
+        else:
+            def step(p, s, key):
+                loss, grads = vg(p, key)
+                p, s = apply_updates(p, s, grads)
+                return p, s, loss
     else:
         def loss_fn(p, key):
             return loss_of_img(render(key, cfg, cam, gbuf, p["mats"],
@@ -138,7 +158,13 @@ def main():
     params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(0))
     float(loss)
 
-    n_iter = 3
+    # time an aligned amortization window: n_iter a multiple of
+    # TRACE_EVERY starting at a re-trace step, so the mean includes
+    # exactly its share of trace passes
+    n_iter = max(3, TRACE_EVERY)
+    if TRACE_EVERY > 1:
+        state["recs"], state["i"] = None, 0
+        n_iter = TRACE_EVERY * max(1, 3 // TRACE_EVERY)
     t0 = time.time()
     for i in range(n_iter):
         params, opt_state, loss = step(params, opt_state,
@@ -175,8 +201,10 @@ def main():
     }
     print(json.dumps({"diag": diag}), file=sys.stderr)
 
+    amort = f"_trace_every{TRACE_EVERY}" if TRACE_EVERY > 1 else ""
     result = {
-        "metric": f"inverse_opt_ms_per_iter_{RES}sq_{SPP}spp_measured",
+        "metric": f"inverse_opt_ms_per_iter_{RES}sq_{SPP}spp{amort}"
+                  "_measured",
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(5.0 / ms, 5),

@@ -111,10 +111,12 @@ def make_train_step(net: MaterialNet, optimizer,
 
 def train(data_root: str, params=None, epochs: int = 1, batch_size: int = 2,
           lr: float = 1e-4, save_path: Optional[str] = None,
-          im_hw=(238, 322), log_every: int = 10):
+          im_hw=(238, 322), log_every: int = 10, return_history=False):
     """Reference-shaped training entry point (plain loop, no Lightning).
 
     im_hw defaults to the nearest multiple-of-14 of the 240×320 dataset.
+    With ``return_history`` the per-step total losses come back alongside
+    the params (evidence for end-to-end training runs).
     """
     import numpy as np
     from materialist_tpu.models.dataset import MGDataset
@@ -130,10 +132,13 @@ def train(data_root: str, params=None, epochs: int = 1, batch_size: int = 2,
     ds = MGDataset(data_root, im_height=im_hw[0], im_width=im_hw[1],
                    phase="TRAIN", random_flip=True)
     it = 0
+    history = []
     for epoch in range(epochs):
         for batch in ds.batches(batch_size, seed=epoch):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             params, opt_state, losses = step(params, opt_state, batch)
+            if return_history:  # host fetch: skip unless asked
+                history.append(float(losses["total"]))
             if it % log_every == 0:
                 print(f"epoch {epoch} it {it} " + " ".join(
                     f"{k}={float(v):.4f}" for k, v in losses.items()),
@@ -141,7 +146,7 @@ def train(data_root: str, params=None, epochs: int = 1, batch_size: int = 2,
             it += 1
         if save_path:
             save_checkpoint(save_path, params, it)
-    return params
+    return (params, history) if return_history else params
 
 
 def save_checkpoint(path: str, params, step: int):

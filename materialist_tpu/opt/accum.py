@@ -52,14 +52,30 @@ def make_accum_value_and_grad_split(trace_fn: Callable, shade_fn: Callable,
         _, pull = jax.vjp(lambda p: shade_fn(p, records, key), params)
         return pull(ct)[0]
 
-    def value_and_grad(params, key):
+    def trace_all(params, key):
+        """Trace every group's records once; the result can be passed to
+        value_and_grad(..., records=...) for several consecutive steps
+        (the trace-amortization of InverseOptions.trace_every: recorded
+        pdfs keep reused records a valid importance-sampled estimate).
+        Requires keep_records HBM headroom ×2 (held across steps)."""
         keys = jax.random.split(key, n_groups)
-        recs = []
+        return [trace_j(params, k) for k in keys], keys
+
+    def value_and_grad(params, key, records=None):
+        if records is not None:
+            recs, keys = records
+            persistent = True
+        else:
+            keys = jax.random.split(key, n_groups)
+            recs, persistent = [], False
         img = None
         for g in range(n_groups):
-            r = trace_j(params, keys[g])
-            if keep_records:
-                recs.append(r)
+            if persistent:
+                r = recs[g]
+            else:
+                r = trace_j(params, keys[g])
+                if keep_records:
+                    recs.append(r)
             im = shade_j(params, r, keys[g])
             img = im if img is None else img + im
         img = img / n_groups
@@ -67,14 +83,18 @@ def make_accum_value_and_grad_split(trace_fn: Callable, shade_fn: Callable,
         ct = ct / n_groups
         grads = None
         for g in range(n_groups):
-            r = recs[g] if keep_records else trace_j(params, keys[g])
+            if persistent or keep_records:
+                r = recs[g]
+            else:
+                r = trace_j(params, keys[g])
             gg = shade_vjp(params, r, keys[g], ct)
-            if keep_records:
+            if keep_records and not persistent:
                 recs[g] = None        # free this group's records
             grads = gg if grads is None else jax.tree.map(
                 jnp.add, grads, gg)
         return loss, grads
 
+    value_and_grad.trace_all = trace_all
     return value_and_grad
 
 

@@ -113,3 +113,19 @@ def test_split_accum_matches_legacy_retrace_accum():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_accum_persistent_records_match_fresh():
+    """trace_all + records= (the trace_every amortization of the accum
+    path) must reproduce the fresh-trace step bitwise at the same key."""
+    params, loss_of_img, trace_fn, shade_fn, render_fn, _ = _accum_setup()
+    key = jax.random.PRNGKey(7)
+
+    vg = make_accum_value_and_grad_split(trace_fn, shade_fn, loss_of_img, 3)
+    l1, g1 = vg(params, key)
+    recs = vg.trace_all(params, key)
+    l2, g2 = vg(params, key, records=recs)
+
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
