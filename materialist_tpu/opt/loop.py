@@ -375,6 +375,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         records, k_tr = None, None
         for epoch in range(opts.num_epochs):
             if records is None or epoch % opts.trace_every == 0:
+                records = None  # free before re-trace: no double residency
                 k_tr = jax.random.fold_in(key, loop_num * 1000000 + epoch)
                 with timer.phase("env_trace"):
                     records = env_trace(env_params, mats_now, k_tr)
@@ -463,6 +464,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 records, k_tr = None, None
                 for epoch in range(opts.num_epochs):
                     if records is None or epoch % opts.trace_every == 0:
+                        records = None  # free before re-trace
                         k_tr = jax.random.fold_in(
                             key, loop_num * 1000000 + 500000 + epoch)
                         with timer.phase(f"mat_trace[{part}]"):
@@ -499,6 +501,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 records, k_tr = None, None
                 for epoch in range(opts.num_epochs):
                     if records is None or epoch % opts.trace_every == 0:
+                        records = None  # free before re-trace
                         k_tr = jax.random.fold_in(
                             key, loop_num * 1000000 + 500000 + epoch)
                         with timer.phase(f"mat_trace[{part}]"):
