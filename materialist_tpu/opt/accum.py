@@ -98,6 +98,75 @@ def make_accum_value_and_grad_split(trace_fn: Callable, shade_fn: Callable,
     return value_and_grad
 
 
+def make_accum_value_and_grad_scan(trace_fn: Callable, shade_fn: Callable,
+                                   loss_of_img: Callable, n_groups: int):
+    """Single-dispatch variant of :func:`make_accum_value_and_grad_split`.
+
+    The split version issues 2·G+2 host-level jit calls per step; through
+    this environment's slow device tunnel each dispatch costs a host
+    round-trip, and XLA cannot overlap work across calls. Here the whole
+    accumulation is ONE jitted function built from two ``lax.scan``s over
+    the group axis (scan semantics are sequential, so the per-group
+    working set stays bounded exactly like the host-level loop):
+
+        recs   = scan_g trace(params, key_g)          (stacked records)
+        img    = mean_g shade(params, recs_g, key_g)  (forward scan)
+        loss,ct= value_and_grad(loss_of_img)(img)
+        grads  = scan_g Σ vjp(shade(·, recs_g, key_g), params)(ct/G)
+
+    Same math as the split version (the mean is linear); the records for
+    all groups are resident for the whole step — the record-light
+    trace (RenderConfig.replay_blob=False) is sized for exactly this
+    (opt/plan.py keep_records budget).
+    """
+    def trace_all(params, key):
+        keys = jax.random.split(key, n_groups)
+
+        def body(carry, k):
+            return carry, trace_fn(params, k)
+
+        _, recs = jax.lax.scan(body, 0, keys)
+        return recs, keys
+
+    trace_all_j = jax.jit(trace_all)
+
+    def _vg(params, recs, keys):
+        def fwd(carry, xs):
+            r, k = xs
+            return carry, shade_fn(params, r, k)
+
+        _, imgs = jax.lax.scan(fwd, 0, (recs, keys))
+        img = jnp.mean(imgs, axis=0)
+        loss, ct = jax.value_and_grad(loss_of_img)(img)
+        ct = jax.tree.map(lambda x: x / n_groups, ct)
+
+        def bwd(gacc, xs):
+            r, k = xs
+            _, pull = jax.vjp(lambda p: shade_fn(p, r, k), params)
+            g = pull(ct)[0]
+            return jax.tree.map(jnp.add, gacc, g), None
+
+        g0 = jax.tree.map(lambda x: jnp.zeros_like(x), params)
+        grads, _ = jax.lax.scan(bwd, g0, (recs, keys))
+        return loss, grads
+
+    vg_cached = jax.jit(_vg)
+
+    @jax.jit
+    def vg_fresh(params, key):
+        recs, keys = trace_all(params, key)
+        return _vg(params, recs, keys)
+
+    def value_and_grad(params, key, records=None):
+        if records is not None:
+            recs, keys = records
+            return vg_cached(params, recs, keys)
+        return vg_fresh(params, key)
+
+    value_and_grad.trace_all = trace_all_j
+    return value_and_grad
+
+
 def make_accum_value_and_grad(render_fn: Callable, loss_of_img: Callable,
                               n_groups: int):
     """Legacy interface: render_fn(params, key) -> image, traced twice per

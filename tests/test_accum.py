@@ -13,6 +13,7 @@ import pytest
 
 from materialist_tpu.camera import Camera
 from materialist_tpu.opt.accum import (make_accum_value_and_grad,
+                                       make_accum_value_and_grad_scan,
                                        make_accum_value_and_grad_split)
 from materialist_tpu.ops.color import linear_to_srgb
 from materialist_tpu.render.scene import Materials, make_gbuffer
@@ -111,6 +112,32 @@ def test_split_accum_matches_legacy_retrace_accum():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_scan_accum_matches_split():
+    """The single-dispatch lax.scan accumulation (one jit per step) must
+    reproduce the host-level split accumulation's loss and gradients —
+    both fresh-trace and with persistent (trace_all) records."""
+    params, loss_of_img, trace_fn, shade_fn, render_fn, _ = _accum_setup()
+    key = jax.random.PRNGKey(13)
+
+    vg_split = make_accum_value_and_grad_split(trace_fn, shade_fn,
+                                               loss_of_img, 3)
+    vg_scan = make_accum_value_and_grad_scan(trace_fn, shade_fn,
+                                             loss_of_img, 3)
+    l1, g1 = vg_split(params, key)
+    l2, g2 = vg_scan(params, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+    recs = vg_scan.trace_all(params, key)
+    l3, g3 = vg_scan(params, key, records=recs)
+    np.testing.assert_allclose(float(l2), float(l3), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
 
