@@ -115,7 +115,11 @@ def main():
         # 1024²×64spp exceeds HBM no matter the chunking (see opt/accum.py).
         # Split trace/shade: records are cached between the mean pass and
         # the vjp pass, so the marches run once per group, not twice.
-        from materialist_tpu.opt.accum import make_accum_value_and_grad_split
+        # BENCH_SCAN=1 (default) uses the lax.scan single-dispatch variant
+        # — one device execution per step instead of 2·G+2 host round
+        # trips through the tunnel; requires keep_records-level HBM.
+        from materialist_tpu.opt.accum import (
+            make_accum_value_and_grad_scan, make_accum_value_and_grad_split)
         from materialist_tpu.render.shader import (shade_from_records,
                                                    trace_step_records)
 
@@ -127,9 +131,15 @@ def main():
             return shade_from_records(key, recs, cfg, cam, gbuf, p["mats"],
                                       p["envmap"])
 
-        vg = make_accum_value_and_grad_split(
-            trace_fn, shade_fn, loss_of_img, groups,
-            keep_records=keep_records)
+        use_scan = (os.environ.get("BENCH_SCAN",
+                                   "1" if keep_records else "0") == "1")
+        if use_scan:
+            vg = make_accum_value_and_grad_scan(
+                trace_fn, shade_fn, loss_of_img, groups)
+        else:
+            vg = make_accum_value_and_grad_split(
+                trace_fn, shade_fn, loss_of_img, groups,
+                keep_records=keep_records)
 
         if TRACE_EVERY > 1:
             state = {"recs": None, "i": 0}

@@ -102,23 +102,37 @@ def lookup_nearest(envmap, d):
                       preferred_element_type=jnp.float32)
 
 
-def lookup_bilinear(envmap, d):
-    """Bilinear radiance fetch with φ-wrap / θ-clamp (Mitsuba emitter
-    eval). Gather-free one-hot contractions for small maps (differentiable
-    with a transposed-matmul adjoint, no scatter); flat gathers for large
-    relighting emitters."""
-    h, w = envmap.shape[0], envmap.shape[1]
+def bilinear_coords(d, h: int, w: int):
+    """Direction → bilinear tap coords: (u0i, v0i int32, du, dv f32).
+
+    The expensive part of an emitter fetch is this mapping (atan2 + arccos
+    — measured ~3 ns/query on v5e, as much as the fetch itself), NOT the
+    4-tap interpolation. The trace pass therefore records these coords per
+    path vertex so the shade pass (and its checkpoint recompute) never
+    runs a transcendental: see shader.py trace_step_records.
+    """
     u, v = dir_to_uv(d, h, w)
     uf = u - 0.5
     vf = v - 0.5
     u0 = jnp.floor(uf)
     v0 = jnp.floor(vf)
-    du = (uf - u0)[..., None]
-    dv = (vf - v0)[..., None]
+    du = uf - u0
+    dv = vf - v0
     u0i = jnp.mod(u0.astype(jnp.int32), w)
-    u1i = jnp.mod(u0i + 1, w)
     v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
+    return u0i, v0i, du, dv
+
+
+def lookup_bilinear_at(envmap, u0i, v0i, du, dv):
+    """Bilinear radiance fetch from precomputed tap coords (φ-wrap /
+    θ-clamp already folded in by :func:`bilinear_coords`). Gather-free
+    one-hot/Pallas path for small maps (differentiable with a scatter
+    adjoint); flat gathers for large relighting emitters."""
+    h, w = envmap.shape[0], envmap.shape[1]
+    u1i = jnp.mod(u0i + 1, w)
     v1i = jnp.clip(v0i + 1, 0, h - 1)
+    du = du[..., None]
+    dv = dv[..., None]
 
     if not _is_small(h, w):
         flat = envmap.reshape(h * w, 3)
@@ -131,6 +145,16 @@ def lookup_bilinear(envmap, d):
         return top * (1.0 - dv) + bot * dv
 
     return _lookup_bilinear_small(envmap, u0i, u1i, v0i, v1i, du, dv)
+
+
+def lookup_bilinear(envmap, d):
+    """Bilinear radiance fetch with φ-wrap / θ-clamp (Mitsuba emitter
+    eval). Gather-free one-hot contractions for small maps (differentiable
+    with a transposed-matmul adjoint, no scatter); flat gathers for large
+    relighting emitters."""
+    h, w = envmap.shape[0], envmap.shape[1]
+    u0i, v0i, du, dv = bilinear_coords(d, h, w)
+    return lookup_bilinear_at(envmap, u0i, v0i, du, dv)
 
 
 @jax.custom_vjp
@@ -156,6 +180,15 @@ def _lookup_bilinear_small(envmap, u0i, u1i, v0i, v1i, du, dv):
     against numeric differences of the bf16 forward must allow ~1e-2.
     """
     h, w = envmap.shape[0], envmap.shape[1]
+    if jax.default_backend() == "tpu":
+        # fused Pallas fetch: the table lives in VMEM, the (…, W) one-hot
+        # intermediates never exist (measured r3: the XLA formulation's
+        # HBM traffic was the single largest cost of the inverse step)
+        from materialist_tpu.ops.pallas.envkernels import (
+            env_lookup_bilinear_tpu, env_lookup_planes)
+        planes = env_lookup_planes(envmap)
+        return env_lookup_bilinear_tpu(planes, u0i, u1i, v0i, v1i,
+                                       du[..., 0], dv[..., 0], h, w)
     du16 = du.astype(jnp.bfloat16)
     dv16 = dv.astype(jnp.bfloat16)
     one = jnp.bfloat16(1.0)

@@ -189,6 +189,94 @@ def env_sample_dir(sampler, u2):
     return wi.reshape(*shape, 3), pdf.reshape(*shape, 1)
 
 
+def _make_lookup_kernel(n_planes: int, w: int):
+    def kernel(env_ref, idx_ref, wt_ref, r_ref, g_ref, b_ref):
+        u0 = idx_ref[0]
+        u1 = idx_ref[1]
+        v0w = idx_ref[2] * w
+        v1w = idx_ref[3] * w
+        du = wt_ref[0]
+        dv = wt_ref[1]
+        w00 = (1.0 - du) * (1.0 - dv)
+        w01 = du * (1.0 - dv)
+        w10 = (1.0 - du) * dv
+        w11 = du * dv
+        outs = (r_ref, g_ref, b_ref)
+        for c in range(3):
+            env_c = env_ref[c * n_planes * 8:(c + 1) * n_planes * 8, :]
+            acc = w00 * _lookup_plane(env_c, n_planes, v0w + u0)
+            acc += w01 * _lookup_plane(env_c, n_planes, v0w + u1)
+            acc += w10 * _lookup_plane(env_c, n_planes, v1w + u0)
+            acc += w11 * _lookup_plane(env_c, n_planes, v1w + u1)
+            outs[c][:, :] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def _env_lookup_tpu(env_planes, idx_flat, wt_flat, h: int, w: int):
+    m = idx_flat.shape[0]
+    pad = (-m) % _PLANE
+    idx_p = jnp.pad(idx_flat, ((0, pad), (0, 0)))
+    wt_p = jnp.pad(wt_flat, ((0, pad), (0, 0)))
+    n_blocks = idx_p.shape[0] // _PLANE
+    idx_t = jnp.moveaxis(idx_p.reshape(n_blocks, 8, 128, 4), 3, 1)
+    wt_t = jnp.moveaxis(wt_p.reshape(n_blocks, 8, 128, 2), 3, 1)
+    n_planes = env_planes.shape[0] // 24
+
+    tile = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_lookup_kernel(n_planes, w),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((n_planes * 24, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 4, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(tile, tile, tile),
+        out_shape=tuple([jax.ShapeDtypeStruct((n_blocks, 8, 128),
+                                              jnp.float32)] * 3),
+        interpret=_INTERPRET,
+    )(env_planes, idx_t, wt_t)
+    return jnp.stack([o.reshape(-1)[:m] for o in outs], axis=-1)
+
+
+def env_lookup_planes(envmap):
+    """Pack an (H, W, 3) emitter into the (3·planes·8, 128) VMEM stack
+    consumed by :func:`env_lookup_bilinear_tpu` (channels stacked along
+    the sublane axis so one ref slices all three)."""
+    stacks = [_plane_pad(envmap[..., c])[0] for c in range(3)]
+    return jnp.concatenate(stacks, axis=0)
+
+
+def env_lookup_bilinear_tpu(env_planes, u0i, u1i, v0i, v1i, du, dv,
+                            h: int, w: int):
+    """Fused 4-tap bilinear emitter fetch for small maps (TPU only).
+
+    The XLA one-hot formulation (ops/envmap.py::_lookup_bilinear_small)
+    materializes (…, W) bf16 one-hots and (…, W, 3) row intermediates in
+    HBM — measured 385 ms fwd / ~double that through the checkpoint
+    recompute per 1024²×16 spp shade group, the single largest cost of
+    the inverse step. Here the ≤64×64 table lives in VMEM and each
+    (8,128) query block resolves its 4 taps with vreg-local plane reads:
+    HBM traffic drops to the queries themselves (~28 B/query).
+
+    Exact f32 weights (the XLA path quantizes the weighted one-hots to
+    bf16 — this kernel is strictly more accurate). Differentiability is
+    handled by the caller's custom VJP; this is the forward only.
+    """
+    shape = u0i.shape
+    idx = jnp.stack([u0i.reshape(-1), u1i.reshape(-1),
+                     v0i.reshape(-1), v1i.reshape(-1)], axis=-1)
+    wt = jnp.stack([du.reshape(-1), dv.reshape(-1)], axis=-1)
+    out = _env_lookup_tpu(env_planes, idx, wt, h, w)
+    return out.reshape(*shape, 3)
+
+
 def _make_pdf_kernel(h: int, w: int, c_planes: int):
     # Mosaic has no atan2/acos lowering: the direction→(u,v,sinθ) mapping
     # runs in XLA (elementwise, fuses into the caller) and arrives as

@@ -29,8 +29,8 @@ from typing import NamedTuple
 # bytes per path-vertex of trace records (render/shader.py
 # trace_step_records: shadowed/hit flags, hit idx, NEE dir+pdfs, lobe dir
 # — plus the bf16 material blob + normal rows in replay mode)
-REPLAY_REC_BYTES = 44.0
-LIGHT_REC_BYTES = 22.0
+REPLAY_REC_BYTES = 60.0
+LIGHT_REC_BYTES = 38.0
 # bytes per path-vertex of the shade pass's vjp working set (f32 lobe /
 # NEE evaluation state + cotangents, checkpoint-recomputed per group)
 SHADE_VJP_BYTES = 96.0
@@ -74,15 +74,21 @@ def plan_step(res: int, spp: int, hbm_bytes: int = HBM_BYTES_V5E,
             and chunk > 1:
         chunk //= 2
 
-    vjp_resident = (verts_total / groups) * SHADE_VJP_BYTES
-
-    def fits(rec_bytes, cached):
+    def fits(rec_bytes, cached, g):
         rec = verts_total * rec_bytes if cached \
-            else (verts_total / groups) * rec_bytes
-        return rec + vjp_resident <= budget
+            else (verts_total / g) * rec_bytes
+        return rec + (verts_total / g) * SHADE_VJP_BYTES <= budget
 
-    if fits(REPLAY_REC_BYTES, cached=True):
-        return StepPlan(groups, chunk, True, True)
-    if fits(LIGHT_REC_BYTES, cached=True):
-        return StepPlan(groups, chunk, False, True)
+    # cached records amortize the trace across the whole step (and across
+    # steps via trace_every) — worth shrinking the per-group vjp working
+    # set (more groups) to keep them resident; per-group dispatches are
+    # one lax.scan iteration each (opt/accum.py scan variant), not host
+    # round-trips, so extra groups cost almost nothing.
+    for g in (groups, 2 * groups, 4 * groups):
+        if g > spp:
+            break
+        if fits(REPLAY_REC_BYTES, cached=True, g=g):
+            return StepPlan(g, min(chunk, max(spp // g, 1)), True, True)
+        if fits(LIGHT_REC_BYTES, cached=True, g=g):
+            return StepPlan(g, min(chunk, max(spp // g, 1)), False, True)
     return StepPlan(groups, chunk, False, False)

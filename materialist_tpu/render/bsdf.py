@@ -51,6 +51,11 @@ class BSDF(NamedTuple):
     # ~13 ns/row on TPU inside real graphs, so skipping the shade-side
     # re-fetch (forward AND its checkpoint recompute) is a major win.
     gather_reuse: Callable = None
+    # semantic marker: "disney" closures may be routed to the fused
+    # Pallas shade-bounce kernel (ops/pallas/shadebounce.py), which
+    # hard-codes the standard-material math; anything else shades
+    # through the generic XLA path.
+    kind: str = "generic"
 
 
 @jax.custom_vjp
@@ -121,7 +126,8 @@ def disney(mats: Materials):
         return jnp.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0)
 
     return BSDF(gather_fn, eval_fn, sample_fn, sample_dirs_fn, weight_fn,
-                table, lambda idx, primal: _reuse_gather(table, idx, primal))
+                table, lambda idx, primal: _reuse_gather(table, idx, primal),
+                kind="disney")
 
 
 def transparent(mats: Materials, bg, mask, spec_trans, ior, cam: Camera,

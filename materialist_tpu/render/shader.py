@@ -426,16 +426,19 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             nrm = nm / jnp.maximum(
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
+        eh, ew = envmap.shape[0], envmap.shape[1]
         if cfg.nee:
             u_nee = _stream_uniform(cfg, k_nee, s, n_loc, 2)
             wi_e, pdf_e = em.sample_dir(env_sampler, u_nee)
             shadowed = do_occlude(pos, wi_e)
             rec_wi_e = wi_e.astype(jnp.bfloat16)
             rec_pdf_e = pdf_e.astype(jnp.bfloat16)
+            uv_e = em.bilinear_coords(wi_e, eh, ew)
         else:
             shadowed = jnp.zeros((s, n_loc), bool)
             rec_wi_e = None
             rec_pdf_e = None
+            uv_e = None
 
         u1 = _stream_uniform(cfg, k_lobe, s, n_loc, 1)
         u2 = _stream_uniform(cfg, k_uv, s, n_loc, 2)
@@ -454,8 +457,28 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         # also deletes the shade-side sample_dirs recompute entirely
         rec_wi = wi.astype(jnp.bfloat16)
 
+        # bilinear tap coords of both emitter fetches (NEE radiance at
+        # wi_e, miss radiance at wi): recording them here removes every
+        # atan2/arccos from the shade pass AND from its checkpoint
+        # recompute in the backward — the trace already paid the
+        # transcendental for pdf_dir. int16 texel + bf16 fraction
+        # (the fraction quantization matches the one-hot path's bf16
+        # weight quantization).
+        uv_b = em.bilinear_coords(wi, eh, ew)
+        if cfg.nee:
+            rec_uvi = jnp.stack([uv_e[0], uv_e[1], uv_b[0], uv_b[1]],
+                                axis=-1).astype(jnp.int16)
+            rec_uvf = jnp.stack([uv_e[2], uv_e[3], uv_b[2], uv_b[3]],
+                                axis=-1).astype(jnp.bfloat16)
+        else:
+            rec_uvi = jnp.stack([uv_b[0], uv_b[1]],
+                                axis=-1).astype(jnp.int16)
+            rec_uvf = jnp.stack([uv_b[2], uv_b[3]],
+                                axis=-1).astype(jnp.bfloat16)
+
         records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm,
-                        rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi))
+                        rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
+                        rec_uvi, rec_uvf))
         idx = hit.idx
         wo = -wi
     return tuple(records)
@@ -497,9 +520,21 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             0.0, sky[None])
 
     identity0 = bsdf.table is not None
+    # fused Pallas shade-bounce path: the entire per-vertex radiance math
+    # (2 Disney evals + 2 VMEM emitter fetches + MIS + updates) in one
+    # kernel pass, adjoint included (ops/pallas/shadebounce.py). Covers
+    # the production inverse configuration; everything else (large
+    # emitters, custom BSDFs, nee=False, blob normals) shades through the
+    # generic XLA formulation below.
+    from materialist_tpu.ops.pallas import shadebounce as _sb
+    use_fused = (cfg.nee and cfg.use_mesh_normal
+                 and bsdf.kind == "disney"
+                 and em._is_small(envmap.shape[0], envmap.shape[1])
+                 and (jax.default_backend() == "tpu" or _sb._INTERPRET))
     for b in range(cfg.max_depth - 1):
         (shadowed, hit_ok, hit_idx, rec_blob, rec_nrm,
-         rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi) = records[b]
+         rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
+         rec_uvi, rec_uvf) = records[b]
 
         if b == 0 and identity0 and cfg.film_jitter > 0.0:
             # continuous film AA (same key as trace ⇒ identical state);
@@ -534,6 +569,31 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             nrm = nm / jnp.maximum(
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
+        if use_fused:
+            wi_raw = rec_wi.astype(jnp.float32)
+            win = wi_raw / jnp.maximum(
+                jnp.linalg.norm(wi_raw, axis=-1, keepdims=True), 1e-9)
+            tgt = win.shape[:-1]
+            gate_nee = (alive & ~shadowed).astype(jnp.float32)[..., None]
+            gate_miss = (alive & ~hit_ok).astype(jnp.float32)[..., None]
+            auxf = jnp.concatenate([
+                jnp.broadcast_to(nrm, tgt + (3,)),
+                jnp.broadcast_to(wo, tgt + (3,)), win,
+                jnp.broadcast_to(gate_nee, tgt + (1,)),
+                jnp.broadcast_to(gate_miss, tgt + (1,))], axis=-1)
+            recb = jnp.concatenate([
+                rec_pdf_e, rec_pdf_at, rec_wi_e, rec_uvf,
+                rec_uvi.astype(jnp.bfloat16)],
+                axis=-1).astype(jnp.bfloat16)
+            blob5 = jnp.broadcast_to(blob[..., :5], tgt + (5,))
+            throughput, rad_delta = _sb.shade_bounce_fused(
+                envmap, blob5, throughput, auxf, recb)
+            radiance = radiance + rad_delta
+            alive = alive & hit_ok
+            idx = hit_idx
+            wo = -win
+            continue
+
         # ---- NEE: recorded envmap sample decisions + recorded shadow
         # (wi_e/pdf_e/pdf_at come from the trace pass — they are detached
         # estimator decisions, and recomputing them here would drag the
@@ -541,7 +601,11 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         if cfg.nee:
             wi_e = rec_wi_e.astype(jnp.float32)
             pdf_e = rec_pdf_e.astype(jnp.float32)
-            le = em.lookup_bilinear(envmap, wi_e)
+            le = em.lookup_bilinear_at(
+                envmap, rec_uvi[..., 0].astype(jnp.int32),
+                rec_uvi[..., 1].astype(jnp.int32),
+                rec_uvf[..., 0].astype(jnp.float32),
+                rec_uvf[..., 1].astype(jnp.float32))
             f_e, pdf_b_at_e = bsdf.eval(blob, idx, wi_e, wo, nrm)
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
@@ -558,7 +622,12 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         pdf_b = sg(pdf_b)
         weight = bsdf.weight(f_b, pdf_b)
 
-        le_miss = em.lookup_bilinear(envmap, wi)
+        uv_off = 2 if cfg.nee else 0
+        le_miss = em.lookup_bilinear_at(
+            envmap, rec_uvi[..., uv_off].astype(jnp.int32),
+            rec_uvi[..., uv_off + 1].astype(jnp.int32),
+            rec_uvf[..., uv_off].astype(jnp.float32),
+            rec_uvf[..., uv_off + 1].astype(jnp.float32))
         if cfg.nee:
             pdf_e_at_wi = rec_pdf_at.astype(jnp.float32)
             w_mis_b = pdf_b / (pdf_b + pdf_e_at_wi + 1e-9)
