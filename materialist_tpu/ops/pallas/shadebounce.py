@@ -303,35 +303,43 @@ def _bwd_call(env_planes, blob, thr, auxf, recb, cot_thr, cot_rad,
 
 
 def _denv_from_dle(envmap, recb, dle):
-    """Emitter-table gradient from the per-query fetch cotangents: 8
-    weighted taps (4 per lookup) scatter-added into the tiny table —
-    the same structure as ops/envmap.py::_lookup_bilinear_small_bwd."""
+    """Emitter-table gradient from the per-query fetch cotangents.
+
+    Separable-one-hot MXU contraction instead of an 8-tap scatter:
+    d_env[v,u,c] = Σ_q voh[q,v] · uoh[q,u] · cot[q,c], where uoh/voh are
+    the bilinear-weighted one-hots of each lookup. XLA lowers it as one
+    (h, q)×(q, w·3) matmul per lookup — contraction over the huge query
+    axis rides the MXU, and the only big intermediate is the fused
+    (q, w, 3) product. Measured r3 at 8.4M queries/bounce: ~170 ms for
+    the span-scatter formulation (the per-block one-hot build in the
+    scatter kernel is VPU-bound) vs ~10 ms here. Works on every backend
+    (plain XLA), so it is also the interpret/CPU path."""
     h, w = envmap.shape[0], envmap.shape[1]
     uvf = recb[..., 5:9].astype(jnp.float32)
     uvi = recb[..., 9:13].astype(jnp.int32)
-    idxs, cots = [], []
+    # bf16 operands halve the (q, w, 3) intermediate's traffic on TPU;
+    # XLA-CPU has no bf16 DotThunk, so other backends contract in f32
+    bf = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    g = jnp.zeros((h, w, 3), jnp.float32)
     for look in range(2):
-        u0 = uvi[..., 2 * look]
-        v0 = uvi[..., 2 * look + 1]
+        u0 = uvi[..., 2 * look].reshape(-1)
+        v0 = uvi[..., 2 * look + 1].reshape(-1)
         u1 = jnp.where(u0 + 1 >= w, 0, u0 + 1)
         v1 = jnp.minimum(v0 + 1, h - 1)
-        du = uvf[..., 2 * look:2 * look + 1]
-        dv = uvf[..., 2 * look + 1:2 * look + 2]
-        cot = dle[..., 3 * look:3 * look + 3]
-        for vi, ui, wt in ((v0, u0, (1 - du) * (1 - dv)),
-                           (v0, u1, du * (1 - dv)),
-                           (v1, u0, (1 - du) * dv),
-                           (v1, u1, du * dv)):
-            idxs.append((vi * w + ui).reshape(-1))
-            cots.append((wt * cot).reshape(-1, 3))
-    idx_all = jnp.concatenate(idxs)
-    cot_all = jnp.concatenate(cots)
-    if jax.default_backend() == "tpu" and not _INTERPRET:
-        from materialist_tpu.ops.pallas.rowops import row_scatter_add
-        g = row_scatter_add(cot_all, idx_all, h * w, coherent=True)
-    else:
-        g = jnp.zeros((h * w, 3), jnp.float32).at[idx_all].add(cot_all)
-    return g.reshape(envmap.shape).astype(envmap.dtype)
+        du = uvf[..., 2 * look].reshape(-1, 1)
+        dv = uvf[..., 2 * look + 1].reshape(-1, 1)
+        cot = dle[..., 3 * look:3 * look + 3].reshape(-1, 3)
+        iu = jnp.arange(w, dtype=jnp.int32)
+        iv = jnp.arange(h, dtype=jnp.int32)
+        # bf16 one-hot weights match the forward's bf16 record fractions
+        uoh = ((u0[:, None] == iu).astype(bf) * (1 - du).astype(bf)
+               + (u1[:, None] == iu).astype(bf) * du.astype(bf))
+        voh = ((v0[:, None] == iv).astype(bf) * (1 - dv).astype(bf)
+               + (v1[:, None] == iv).astype(bf) * dv.astype(bf))
+        tmp = uoh[:, :, None] * cot.astype(bf)[:, None, :]
+        g = g + jnp.einsum("qv,qwc->vwc", voh, tmp,
+                           preferred_element_type=jnp.float32)
+    return g.astype(envmap.dtype)
 
 
 @functools.lru_cache(maxsize=8)
