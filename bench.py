@@ -187,12 +187,16 @@ def main():
     float(loss)  # forces completion (block_until_ready does not block
     #              through this environment's device tunnel)
     ms = (time.time() - t0) / n_iter * 1000.0
+    print(f"[bench] amortized ms/iter = {ms:.1f}", file=sys.stderr,
+          flush=True)
 
     # fresh-trace protocol cost (the reference re-traces every iteration):
     # measure one full trace_all and add back the amortized share.
     trace_ms = 0.0
     if TRACE_EVERY > 1:
         import numpy as _np
+        state["recs"] = None  # free the amortized records first: two
+        # full record sets do not fit HBM at 1024²×64spp
         t1 = time.time()
         recs_t = vg.trace_all(params, jax.random.PRNGKey(997))
         leaf = jax.tree_util.tree_leaves(recs_t)[0]

@@ -21,6 +21,7 @@ import dataclasses
 import json
 import os
 import sys
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -86,6 +87,11 @@ class InverseOptions:
     # re-trace-every-iteration behavior exactly. Mitsuba/Dr.Jit cannot do
     # this (the megakernel interleaves trace and shade); on TPU the two
     # passes are already separate programs.
+    time_budget_s: float = 0.0  # >0: wall-clock deadline for the WHOLE
+    # optimization. SaveBest persists continuously, so hitting the
+    # deadline degrades gracefully to "best state found so far" (same
+    # contract as early stopping); 0 disables. The reference has no
+    # equivalent — its only bound is the epoch caps.
 
 
 def _render_cfg(opts: InverseOptions) -> RenderConfig:
@@ -359,6 +365,12 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
     loop_num = 0
     last_env_frame = None
     final_envmap = None
+    deadline = (time.time() + opts.time_budget_s
+                if opts.time_budget_s > 0 else None)
+
+    def out_of_time():
+        return deadline is not None and time.time() > deadline
+
     while True:
         loop_num += 1
         # ---- envmap phase
@@ -399,6 +411,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             if early.early_stop:
                 print("Early stopping", flush=True)
                 break
+            if out_of_time():
+                print("[env] time budget exhausted", flush=True)
+                break
             if loop_num < opts.opt_env_from:
                 break
             if "rm" not in opts.opt_src and loop_num == 1 \
@@ -419,6 +434,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             print("Global early stopping", flush=True)
             break
         if loop_num >= opts.max_loops or opts.opt_src == "skip":
+            break
+        if out_of_time():
+            print("[loop] time budget exhausted", flush=True)
             break
 
         # ---- material phase
@@ -442,6 +460,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         for part in opts.opt_order:
             if part == "a" and loop_num <= 1:
                 continue
+            if out_of_time():
+                print(f"[mat {part}] time budget exhausted", flush=True)
+                break
             patience = max(200 // loop_num, 1)
             delta = 0.005 if "a" in part else 0.001
             early = EarlyStopping(patience=patience, min_delta=delta)
@@ -492,6 +513,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     if early.early_stop:
                         print("Early stopping", flush=True)
                         break
+                    if out_of_time():
+                        print("[mat] time budget exhausted", flush=True)
+                        break
             else:
                 opt = schedules.adamw_steplr(3e-4, floor=1.5e-4)
                 step, trace = make_mlp_step(opt, part)
@@ -530,6 +554,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                                        part, epoch)
                     if early.early_stop:
                         print("Early stopping", flush=True)
+                        break
+                    if out_of_time():
+                        print("[mat] time budget exhausted", flush=True)
                         break
 
             # restore best (inverse_img_w_mi.py:460-463,583-588): both the

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--trace-every", type=int, default=1,
                     help="re-trace every K epochs, reuse records between "
                          "(InverseOptions.trace_every)")
+    ap.add_argument("--time-budget", type=float, default=0.0,
+                    help="wall-clock seconds for the whole optimization; "
+                         "SaveBest state at the deadline is reported")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -72,6 +75,7 @@ def main():
         use_mesh_normal=cfgj.get("use_mesh_normal", True),
         spp=args.spp, num_epochs=args.epochs, chunk=args.chunk,
         trace_every=args.trace_every,
+        time_budget_s=args.time_budget,
         frame_every=0)
     print(f"[parity {args.scene}] epochs≤{args.epochs} spp={args.spp} "
           f"trace_every={args.trace_every} "

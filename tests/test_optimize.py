@@ -124,3 +124,23 @@ def test_early_stopping_semantics():
     assert not es(0.5)     # improvement resets
     assert not es(0.48)    # <10% improvement → counter 1
     assert es(0.47)        # counter 2 → stop
+
+
+def test_time_budget_stops_and_returns_best(synthetic, tmp_path):
+    """time_budget_s=0-ish must stop the optimization after at most a few
+    epochs while still returning a complete SaveBest state (the deadline
+    degrades to 'best found so far', InverseOptions.time_budget_s)."""
+    cam, gbuf, true_mats, env, gt = synthetic
+    mat = {"albedo": true_mats.albedo, "roughness": true_mats.roughness,
+           "metallic": true_mats.metallic, "normal": true_mats.normal,
+           "gt_image": gt}
+    opts = InverseOptions(opt_src="skip", opt_order=("skip",), spp=8,
+                          chunk=8, num_epochs=5000, frame_every=0,
+                          march_steps=8, shadow_steps=8,
+                          march_impl="exact", march_vectorized=True,
+                          time_budget_s=1e-3)
+    best = optimize(gbuf, cam, mat, str(tmp_path), opts)
+    assert best["envmap"] is not None
+    assert np.isfinite(best["loss"])
+    assert os.path.exists(os.path.join(str(tmp_path), "best_results",
+                                       "envmap.hdr"))
