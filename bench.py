@@ -35,7 +35,7 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
 # tests/test_optimize.py). K=1 is the reference's re-trace-every-iteration
 # behavior. Both the amortized (headline) and fresh-trace (K=1 protocol)
 # per-iteration costs are measured and reported in the one JSON line.
-TRACE_EVERY = int(os.environ.get("BENCH_TRACE_EVERY", "4"))
+TRACE_EVERY = int(os.environ.get("BENCH_TRACE_EVERY", "8"))
 
 
 def main():

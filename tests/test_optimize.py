@@ -116,6 +116,13 @@ def test_trace_reuse_matches_per_epoch_trace(synthetic, tmp_path):
     assert err_reuse < err0, (err0, err_reuse)
     # within 25% of the fresh-trace recovery error (same budget)
     assert err_reuse < err_fresh * 1.25 + 0.01, (err_fresh, err_reuse)
+    # K=8 (the bench/production amortization design point,
+    # InverseOptions.trace_every docstring): same-budget recovery must
+    # stay within 35% of fresh-trace — secondary-row staleness grows
+    # with K, so the tolerance is looser than K=4's
+    err_reuse8 = run(8, "reuse8")
+    assert err_reuse8 < err0, (err0, err_reuse8)
+    assert err_reuse8 < err_fresh * 1.35 + 0.01, (err_fresh, err_reuse8)
 
 
 def test_early_stopping_semantics():
