@@ -27,8 +27,6 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
 from materialist_tpu import config as gconfig
 from materialist_tpu.camera import Camera
 from materialist_tpu.io import image as image_io
@@ -37,10 +35,9 @@ from materialist_tpu.models import posmlp
 from materialist_tpu.opt.callbacks import EarlyStopping, SaveBest
 from materialist_tpu.opt import schedules
 from materialist_tpu.ops.color import linear_to_srgb
+from materialist_tpu.opt.step import make_phase_step
 from materialist_tpu.render.scene import GBuffer, Materials
-from materialist_tpu.render.shader import (RenderConfig, render,
-                                           shade_from_records,
-                                           trace_step_records)
+from materialist_tpu.render.shader import RenderConfig
 from materialist_tpu.utils.profiling import JsonlLogger, PhaseTimer
 
 
@@ -179,36 +176,37 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
 
     mask = mat.get("mask")
 
-    # ---------------- jitted phase steps (compiled once per phase kind)
-    # Every step renders as shade(records): with trace_every == 1 the
-    # records are rebuilt in the same epoch (reference behavior); with
-    # K > 1 they are refreshed every K epochs and reused in between (see
-    # InverseOptions.trace_every for the estimator-correctness argument).
+    # ---------------- jitted phase steps — ONE step implementation
+    # (opt/step.py, shared with bench.py): HBM-planned group accumulation
+    # + trace/shade split. Every epoch is shade(records)+loss+adjoint+
+    # update in one jit; with trace_every == 1 the records are rebuilt
+    # every epoch (reference behavior); with K > 1 they are refreshed
+    # every K epochs and reused in between (see InverseOptions).
     def _env_of(p):
         return envmap_net.apply({"params": p}, start_env).reshape(
             env_h, env_w, 3)
 
-    @jax.jit
-    def env_trace(p, mats: Materials, k):
-        return trace_step_records(k, cfg, cam, gbuf, mats, _env_of(p))
+    def env_maps_of(p, extra):
+        return extra, _env_of(p)
 
-    def env_loss(p, mats: Materials, records, k_tr):
-        env = _env_of(p)
-        img = shade_from_records(k_tr, records, cfg, cam, gbuf, mats, env)
+    def env_loss_of(maps, img, extra):
+        env = maps[1]
         pred = linear_to_srgb(img)
         mse = jnp.mean((pred - gt_srgb) ** 2)
         l1 = jnp.mean(jnp.abs(pred - gt_srgb))
         return mse + l1, (mse, env, img)
 
-    def make_env_step(opt):
-        @jax.jit
-        def step(p, opt_state, mats, records, k_tr):
-            (loss, (mse, env, img)), grads = jax.value_and_grad(
-                env_loss, has_aux=True)(p, mats, records, k_tr)
-            updates, opt_state = opt.update(grads, opt_state, p)
-            p = optax.apply_updates(p, updates)
-            return p, opt_state, loss, mse, env, img
-        return step
+    env_phase = make_phase_step(cfg, cam, gbuf, env_maps_of, env_loss_of)
+    env_tx_first = schedules.adam_steplr(1e-3)
+    env_tx_rest = schedules.adam_plain(1e-4)
+    env_steps = {1: env_phase.make_step(env_tx_first)}
+
+    def get_env_step(loop_num):
+        if loop_num == 1:
+            return env_tx_first, env_steps[1]
+        if 2 not in env_steps:
+            env_steps[2] = env_phase.make_step(env_tx_rest)
+        return env_tx_rest, env_steps[2]
 
     def material_maps_mlp(p, cur, part):
         """Net-predicted maps for the channels in `part`; all other channels
@@ -245,84 +243,72 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             rough, metal = _apply_mask_constraint(rough, metal, mask)
         return Materials(albedo, rough, metal, nrm)
 
-    def mat_loss(maps, part, envmap, records, k_tr):
-        mats = _constrained_mats(maps)
-        albedo, rough, metal, nrm = mats
-        img = shade_from_records(k_tr, records, cfg, cam, gbuf, mats,
-                                 envmap)
-        ratio = jnp.mean(gt_image) / jnp.maximum(
-            jax.lax.stop_gradient(jnp.mean(img)), 1e-9)
-        pred = linear_to_srgb(img * ratio)
-        mse = jnp.mean((pred - gt_srgb) ** 2)
-        l1 = jnp.mean(jnp.abs(pred - gt_srgb))
-        aux = 0.0
-        if "a" in part:
-            aux += jnp.mean(jnp.abs(albedo - albedo_ori))
-        if "r" in part:
-            aux += jnp.mean(jnp.abs(rough - roughness_ori))
-        if "m" in part:
-            aux += jnp.mean(jnp.abs(metal - metallic_ori))
-        if "n" in part and not opts.use_mesh_normal:
-            aux += jnp.mean(jnp.abs(nrm - normal_ori))
-        scale_ratio = jax.lax.stop_gradient(l1 / jnp.maximum(mse, 1e-12))
-        render_loss = 3.0 * scale_ratio * mse + l1
-        loss = render_loss + aux * opts.scale_delta
-        return loss, (mse, render_loss, aux, mats, pred)
-
-    def make_mlp_step(opt, part):
-        @jax.jit
-        def trace(p, cur, envmap, k):
-            mats = _constrained_mats(material_maps_mlp(p, cur, part))
-            return trace_step_records(k, cfg, cam, gbuf, mats, envmap)
-
-        def loss_fn(p, cur, envmap, records, k_tr):
-            return mat_loss(material_maps_mlp(p, cur, part), part, envmap,
-                            records, k_tr)
-
-        @jax.jit
-        def step(p, opt_state, cur, envmap, records, k_tr):
-            (loss, auxes), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(p, cur, envmap, records, k_tr)
-            updates, opt_state = opt.update(grads, opt_state, p)
-            p_new = optax.apply_updates(p, updates)
-            # p (pre-update) matches the returned loss/maps — SaveBest must
-            # record it, not p_new (one step stale otherwise)
-            return p_new, opt_state, loss, auxes, p
-        return step, trace
-
-    def make_direct_step(opt, part):
-        def clamp_maps(params, cur):
-            albedo = (jnp.clip(params["albedo"], 0, 1)
-                      if "a" in part else cur["albedo"])
-            rough = (jnp.clip(params["roughness"], 0.07, 1)
-                     if "r" in part else cur["roughness"])
-            metal = (jnp.clip(params["metallic"], 0, 1)
-                     if "m" in part else cur["metallic"])
+    def make_mat_loss_of(part):
+        def loss_of(maps, img, extra):
+            mats = maps[0]
+            albedo, rough, metal, nrm = mats
+            ratio = jnp.mean(gt_image) / jnp.maximum(
+                jax.lax.stop_gradient(jnp.mean(img)), 1e-9)
+            pred = linear_to_srgb(img * ratio)
+            mse = jnp.mean((pred - gt_srgb) ** 2)
+            l1 = jnp.mean(jnp.abs(pred - gt_srgb))
+            aux = 0.0
+            if "a" in part:
+                aux += jnp.mean(jnp.abs(albedo - albedo_ori))
+            if "r" in part:
+                aux += jnp.mean(jnp.abs(rough - roughness_ori))
+            if "m" in part:
+                aux += jnp.mean(jnp.abs(metal - metallic_ori))
             if "n" in part and not opts.use_mesh_normal:
-                nr = params["normal"]
-                nrm = nr / jnp.maximum(
-                    jnp.linalg.norm(nr, axis=-1, keepdims=True), 1e-9)
-            else:
-                nrm = cur["normal"]
-            return albedo, rough, metal, nrm
+                aux += jnp.mean(jnp.abs(nrm - normal_ori))
+            scale_ratio = jax.lax.stop_gradient(
+                l1 / jnp.maximum(mse, 1e-12))
+            render_loss = 3.0 * scale_ratio * mse + l1
+            loss = render_loss + aux * opts.scale_delta
+            return loss, (mse, render_loss, aux, mats, pred)
+        return loss_of
 
-        @jax.jit
-        def trace(params, cur, envmap, k):
-            mats = _constrained_mats(clamp_maps(params, cur))
-            return trace_step_records(k, cfg, cam, gbuf, mats, envmap)
+    # phase-step cache: the jitted programs depend only on (kind, part),
+    # not on the outer loop — `extra` carries the per-loop inputs (current
+    # best maps + frozen envmap) so loops 2/3 reuse loop 1's compilation
+    mat_phases = {}
 
-        def loss_fn(params, cur, envmap, records, k_tr):
-            return mat_loss(clamp_maps(params, cur), part, envmap,
-                            records, k_tr)
+    def get_mat_phase(kind, part):
+        key_ = (kind, part)
+        if key_ in mat_phases:
+            return mat_phases[key_]
+        if kind == "mlp":
+            def maps_of(p, extra):
+                cur, envmap = extra
+                return (_constrained_mats(material_maps_mlp(p, cur, part)),
+                        envmap)
+            tx = schedules.adamw_steplr(3e-4, floor=1.5e-4)
+        else:
+            def clamp_maps(params, cur):
+                albedo = (jnp.clip(params["albedo"], 0, 1)
+                          if "a" in part else cur["albedo"])
+                rough = (jnp.clip(params["roughness"], 0.07, 1)
+                         if "r" in part else cur["roughness"])
+                metal = (jnp.clip(params["metallic"], 0, 1)
+                         if "m" in part else cur["metallic"])
+                if "n" in part and not opts.use_mesh_normal:
+                    nr = params["normal"]
+                    nrm = nr / jnp.maximum(
+                        jnp.linalg.norm(nr, axis=-1, keepdims=True), 1e-9)
+                else:
+                    nrm = cur["normal"]
+                return albedo, rough, metal, nrm
 
-        @jax.jit
-        def step(params, opt_state, cur, envmap, records, k_tr):
-            (loss, auxes), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, cur, envmap, records, k_tr)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, auxes
-        return step, trace
+            def maps_of(params, extra):
+                cur, envmap = extra
+                return _constrained_mats(clamp_maps(params, cur)), envmap
+            tx = schedules.adam_steplr(3e-4, floor=1.5e-4)
+
+        phase = make_phase_step(cfg, cam, gbuf, maps_of,
+                                make_mat_loss_of(part))
+        entry = (phase, phase.make_step(tx), tx)
+        mat_phases[key_] = entry
+        return entry
 
     # ---------------- frame helpers (host side)
     def save_env_frame(env_np, pred_srgb_np, loop_num, epoch):
@@ -374,12 +360,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
     while True:
         loop_num += 1
         # ---- envmap phase
-        if loop_num == 1:
-            opt = schedules.adam_steplr(1e-3)
-        else:
-            opt = schedules.adam_plain(1e-4)
-        env_step = make_env_step(opt)
-        opt_state = opt.init(env_params)
+        env_tx, env_step = get_env_step(loop_num)
+        opt_state = env_tx.init(env_params)
         patience = 500 if opts.opt_src == "skip" else 100
         early = EarlyStopping(patience=patience, min_delta=0.01)
         mats_now = _mats_from_dict(mat)
@@ -390,10 +372,12 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                 records = None  # free before re-trace: no double residency
                 k_tr = jax.random.fold_in(key, loop_num * 1000000 + epoch)
                 with timer.phase("env_trace"):
-                    records = env_trace(env_params, mats_now, k_tr)
+                    records = env_phase.trace_all(env_params, mats_now,
+                                                  k_tr)
             with timer.phase("env_step"):
-                env_params, opt_state, loss, mse, env, img = env_step(
-                    env_params, opt_state, mats_now, records, k_tr)
+                env_params, opt_state, loss, aux, _ = env_step(
+                    env_params, opt_state, mats_now, *records)
+                mse, env, img = aux
                 mse_val = float(mse)
             metrics.log(phase="env", loop=loop_num, epoch=epoch,
                         mse=mse_val)
@@ -468,7 +452,6 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             early = EarlyStopping(patience=patience, min_delta=delta)
 
             if opts.model_name == "none":
-                opt = schedules.adam_steplr(3e-4, floor=1.5e-4)
                 params = {}
                 if "a" in part:
                     params["albedo"] = mat["albedo"]
@@ -480,8 +463,9 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     params["normal"] = mat["normal"]
                 cur = {k2: mat[k2] for k2 in
                        ("albedo", "roughness", "metallic", "normal")}
-                step, trace = make_direct_step(opt, part)
-                opt_state = opt.init(params)
+                phase, step, tx = get_mat_phase("direct", part)
+                extra = (cur, env4render)
+                opt_state = tx.init(params)
                 records, k_tr = None, None
                 for epoch in range(opts.num_epochs):
                     if records is None or epoch % opts.trace_every == 0:
@@ -489,11 +473,10 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                         k_tr = jax.random.fold_in(
                             key, loop_num * 1000000 + 500000 + epoch)
                         with timer.phase(f"mat_trace[{part}]"):
-                            records = trace(params, cur, env4render, k_tr)
+                            records = phase.trace_all(params, extra, k_tr)
                     with timer.phase(f"mat_direct[{part}]"):
-                        params, opt_state, loss, auxes = step(
-                            params, opt_state, cur, env4render, records,
-                            k_tr)
+                        params, opt_state, loss, auxes, _ = step(
+                            params, opt_state, extra, *records)
                         mse, render_loss, aux, mats_cur, pred = auxes
                         mse_val = float(mse)
                     metrics.log(phase=f"mat_direct[{part}]", loop=loop_num,
@@ -517,11 +500,11 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                         print("[mat] time budget exhausted", flush=True)
                         break
             else:
-                opt = schedules.adamw_steplr(3e-4, floor=1.5e-4)
-                step, trace = make_mlp_step(opt, part)
-                opt_state = opt.init(brdf_params)
+                phase, step, tx = get_mat_phase("mlp", part)
+                opt_state = tx.init(brdf_params)
                 cur = {k2: mat[k2] for k2 in
                        ("albedo", "roughness", "metallic", "normal")}
+                extra = (cur, env4render)
                 records, k_tr = None, None
                 for epoch in range(opts.num_epochs):
                     if records is None or epoch % opts.trace_every == 0:
@@ -529,12 +512,11 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                         k_tr = jax.random.fold_in(
                             key, loop_num * 1000000 + 500000 + epoch)
                         with timer.phase(f"mat_trace[{part}]"):
-                            records = trace(brdf_params, cur, env4render,
-                                            k_tr)
+                            records = phase.trace_all(brdf_params, extra,
+                                                      k_tr)
                     with timer.phase(f"mat_mlp[{part}]"):
                         brdf_params, opt_state, loss, auxes, params_pre = \
-                            step(brdf_params, opt_state, cur, env4render,
-                                 records, k_tr)
+                            step(brdf_params, opt_state, extra, *records)
                         mse, render_loss, aux, mats_cur, pred = auxes
                         mse_val = float(mse)
                     metrics.log(phase=f"mat_mlp[{part}]", loop=loop_num,

@@ -23,8 +23,11 @@ if not _USE_TPU:
 else:
     # TPU runs: persist compiled executables so the (minutes-long) cold
     # compiles of the fused march/shade kernels are paid once per image,
-    # not once per pytest invocation
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # not once per pytest invocation. Cache lives next to the checkout
+    # (ADVICE r3: do not hardcode /root/repo).
+    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_repo, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 # MATERIALIST_TPU_TESTS=1 keeps the real backend so `pytest -m tpu` can
 # exercise the fused Pallas kernels on hardware.
