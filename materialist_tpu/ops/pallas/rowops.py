@@ -211,21 +211,39 @@ def row_scatter_add(cot, idx, n_rows: int, exact: bool = True,
     cot (..., K) f32, idx (...,) int32 → (n_rows, K) f32.
 
     ``coherent=False`` (DEFAULT — unstructured indices): sort-then-span.
-    argsort the indices (28 ms / 8.4M on v5e — XLA's TPU sort is fast),
-    permute the cotangents into sorted order with ONE serialized gather
-    (69 ms, width-independent), then run the span-binned MXU kernel on
-    the now perfectly coherent stream (26 ms). Total ~123 ms vs XLA's
-    ``.at[idx].add`` at 726 ms (hints don't help; measured r3).
-    ``coherent=True``: indices already cluster per block — straight to
-    the span kernel. Off-TPU: ``zeros.at[idx].add``. Padding rows
-    contribute zero cotangent.
+    With ``exact=False`` the cotangent channels ride THROUGH the sort
+    network as bf16 pairs packed into i32 payload operands — measured r4
+    at 8.4M×5ch: 58 ms (7.0 ns/row) vs 151 ms for sort-by-iota + a
+    serialized permutation gather (the r3 design; the permutation at
+    ~16 ns/row was the bottleneck) vs 719 ms for XLA ``.at[].add``.
+    ``exact=True`` keeps f32 cotangents: sorted by iota + permutation
+    gather (exactness over speed). ``coherent=True``: indices already
+    cluster per block — straight to the span kernel. Off-TPU:
+    ``zeros.at[idx].add``. Padding rows contribute zero cotangent.
     """
     k = cot.shape[-1]
     cot_flat = cot.reshape(-1, k).astype(jnp.float32)
     idx_flat = idx.reshape(-1)
     if jax.default_backend() != "tpu":
         return jnp.zeros((n_rows, k), jnp.float32).at[idx_flat].add(cot_flat)
-    if not coherent:
+    if not coherent and not exact:
+        m = idx_flat.shape[0]
+        cb = cot_flat.astype(jnp.bfloat16)
+        if k % 2:
+            cb = jnp.pad(cb, ((0, 0), (0, 1)))
+        u16 = jax.lax.bitcast_convert_type(cb, jnp.uint16).astype(jnp.uint32)
+        words = u16[:, 0::2] | (u16[:, 1::2] << 16)   # (M, ceil(K/2)) u32
+        ops = (idx_flat,) + tuple(words[:, j]
+                                  for j in range(words.shape[1]))
+        sorted_ops = jax.lax.sort(ops, num_keys=1)
+        idx_flat = sorted_ops[0]
+        w_s = jnp.stack(sorted_ops[1:], axis=-1)
+        lo = (w_s & 0xFFFF).astype(jnp.uint16)
+        hi = (w_s >> 16).astype(jnp.uint16)
+        cot_flat = jax.lax.bitcast_convert_type(
+            jnp.stack([lo, hi], axis=-1).reshape(m, -1)[:, :k],
+            jnp.bfloat16).astype(jnp.float32)
+    elif not coherent:
         # lax.sort carries the permutation as payload, so the sorted keys
         # come out of the sort network directly — only the (wide) cot rows
         # pay the one serialized permutation gather
@@ -272,3 +290,113 @@ def _row_gather_diff_bwd(res, cot):
 
 
 row_gather_diff.defvjp(_row_gather_diff_fwd, _row_gather_diff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Path-compaction helpers (round-4 wavefront restructure).
+#
+# Measured alive fractions on the shipped fixtures (scripts/diag_hitrates):
+# indoor 0.40/0.16, jinjya 0.25/0.08 at bounces 1/2 — i.e. most secondary
+# rays are DEAD (their previous lobe march missed) yet still occupy lanes
+# in every march/gather/scatter/shade op. Compacting the live rays between
+# bounces multiplies the whole step.
+#
+# The key property making compaction cheap on TPU: a stable partition of an
+# ascending index sequence keeps indices ASCENDING, so every producer/
+# consumer reordering in the compacted pipeline is a *coherent* (monotone)
+# gather or scatter — the span-binned MXU kernels above resolve those at
+# ~3 ns/row, never a serialized op or a sort.
+# ---------------------------------------------------------------------------
+
+
+def _f32_exact_split(i):
+    """int32 (< 2^26) → two f32-exact channels (hi, lo), base 2^13."""
+    hi = i // 8192
+    lo = i - hi * 8192
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+def _f32_exact_join(hi, lo):
+    return (hi.astype(jnp.int32) * 8192 + lo.astype(jnp.int32))
+
+
+def compact_sel(alive, cap: int):
+    """Stable-compaction index vector of the live rays.
+
+    alive (M,) bool → (sel (cap,) int32 ascending, count int32 scalar).
+    sel[j] = position of the j-th live ray for j < count; 0 (padding)
+    beyond. Live rays past `cap` are dropped (callers size `cap` with
+    margin; the estimator treats dropped rays as dead — same gating as a
+    ray that missed). Pure jnp + one coherent span scatter: dest =
+    prefix-count is monotone.
+    """
+    m = alive.shape[0]
+    a = alive.astype(jnp.int32)
+    dest = jnp.cumsum(a) - 1                      # monotone where alive
+    count = jnp.minimum(dest[-1] + 1, cap)
+    keep = alive & (dest < cap)
+    dest_c = jnp.clip(dest, 0, cap - 1)
+    hi, lo = _f32_exact_split(jnp.arange(m, dtype=jnp.int32))
+    vals = jnp.stack([jnp.where(keep, hi, 0.0),
+                      jnp.where(keep, lo, 0.0)], axis=-1)
+    packed = row_scatter_add(vals, jnp.where(keep, dest_c, 0), cap,
+                             exact=True, coherent=True)
+    return _f32_exact_join(packed[:, 0], packed[:, 1]), count
+
+
+def gather_rows_coherent(table, sel):
+    """Detached coherent row gather (span kernel / plain indexing off-TPU).
+
+    table (M, K) f32-exact values; sel (cap,) ascending int32. Used by the
+    trace to pull the surviving rays' state through a compaction in ONE
+    fused fetch (ints ride as f32 VALUES — exact below 2^24)."""
+    return row_gather(table, sel, exact=True, coherent=True)
+
+
+@jax.custom_vjp
+def gather_coherent_diff(table, sel):
+    """Differentiable coherent row gather: fwd span gather, bwd span
+    scatter — both O(covered tiles) because `sel` is ascending (the
+    throughput chain across a compaction)."""
+    return row_gather(table, sel, exact=True, coherent=True)
+
+
+def _gcd_fwd(table, sel):
+    proto = jnp.zeros((0,), table.dtype)
+    return (row_gather(table, sel, exact=True, coherent=True),
+            (sel, table.shape[0], proto))
+
+
+def _gcd_bwd(res, cot):
+    sel, n_rows, proto = res
+    g = row_scatter_add(cot, sel, n_rows, exact=True,
+                        coherent=True).astype(proto.dtype)
+    return (g, None)
+
+
+gather_coherent_diff.defvjp(_gcd_fwd, _gcd_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def scatter_add_coherent_diff(n_rows, values, idx):
+    """Differentiable coherent scatter-add: fwd span scatter of `values`
+    rows into an (n_rows, K) zero table at ascending idx; bwd = coherent
+    gather of the output cotangent (the film accumulation across a
+    compaction). Padding rows must carry zero values."""
+    return row_scatter_add(values, idx, n_rows, exact=True, coherent=True)
+
+
+def _sacd_fwd(n_rows, values, idx):
+    proto = jnp.zeros((0,), values.dtype)
+    return (row_scatter_add(values, idx, n_rows, exact=True,
+                            coherent=True), (idx, proto))
+
+
+def _sacd_bwd(n_rows, res, cot):
+    idx, proto = res
+    g = row_gather(cot, idx, exact=True,
+                   coherent=True).astype(proto.dtype)
+    return (g, None)
+
+
+scatter_add_coherent_diff.defvjp(_sacd_fwd, _sacd_bwd)

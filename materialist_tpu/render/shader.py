@@ -85,9 +85,15 @@ def _march_valid(cfg: RenderConfig, gbuf: GBuffer):
 
 
 def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
-    """March/occlusion closures for the configured implementation."""
+    """March/occlusion closures for the configured implementation.
+
+    Returns (do_march, do_occlude, do_pair); do_pair resolves the lobe
+    march AND the NEE shadow march of a vertex in one fused kernel on TPU
+    (ops/pallas/march_kernel.py::march_pair) — the marches are ~70% of the
+    trace pass, and pairing shares the kernel launch and layout work."""
     if cfg.march_impl == "fused":
-        from materialist_tpu.ops.pallas.march_kernel import march_fused
+        from materialist_tpu.ops.pallas.march_kernel import (march_fused,
+                                                             march_pair)
 
         def do_march(pos_, wi_):
             return march_fused(cam, dist_map, valid_map, pos_, wi_,
@@ -99,6 +105,13 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
                                n_steps=cfg.shadow_steps,
                                fine_steps=max(cfg.shadow_fine_steps, 1),
                                shadow_only=cfg.shadow_fine_steps == 0).hit
+
+        def do_pair(pos_, wi_, wi_e_):
+            return march_pair(cam, dist_map, valid_map, pos_, wi_, wi_e_,
+                              n_steps=cfg.march_steps,
+                              fine_steps=cfg.fine_steps,
+                              shadow_steps=cfg.shadow_steps,
+                              shadow_fine_steps=cfg.shadow_fine_steps)
     elif cfg.march_impl == "mip":
         mip = ss.build_min_mip(dist_map, valid_map, cfg.mip_factor)
         fine_table = ss.build_fine_table(dist_map, valid_map,
@@ -120,6 +133,9 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
                                 shadow_only=cfg.shadow_fine_steps == 0,
                                 fine_table=fine_table,
                                 fine_factor=cfg.fine_factor).hit
+
+        def do_pair(pos_, wi_, wi_e_):
+            return do_march(pos_, wi_), do_occlude(pos_, wi_e_)
     else:
         def do_march(pos_, wi_):
             return ss.march(cam, dist_map, valid_map, pos_, wi_,
@@ -130,7 +146,10 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
             return ss.occluded(cam, dist_map, valid_map, pos_, wi_,
                                n_steps=cfg.shadow_steps,
                                vectorized=cfg.march_vectorized)
-    return do_march, do_occlude
+
+        def do_pair(pos_, wi_, wi_e_):
+            return do_march(pos_, wi_), do_occlude(pos_, wi_e_)
+    return do_march, do_occlude, do_pair
 
 
 class FilmSlice(NamedTuple):
@@ -359,8 +378,8 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             [sg(bsdf.table), dist_hi[:, None], dist_lo[:, None],
              nrm_geo_flat], axis=-1)
     dist_map = sg(gbuf.dist)
-    do_march, do_occlude = _make_march_fns(cfg, cam, dist_map,
-                                           _march_valid(cfg, gbuf))
+    do_march, do_occlude, do_pair = _make_march_fns(
+        cfg, cam, dist_map, _march_valid(cfg, gbuf))
 
     off, n_rows = _film_base(film, h, w)
     n_loc = n_rows * w
@@ -427,10 +446,14 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
         eh, ew = envmap.shape[0], envmap.shape[1]
+        u1 = _stream_uniform(cfg, k_lobe, s, n_loc, 1)
+        u2 = _stream_uniform(cfg, k_uv, s, n_loc, 2)
+        wi = sg(bsdf.sample_dirs(blob, u1[..., 0], u2, wo, nrm))
         if cfg.nee:
             u_nee = _stream_uniform(cfg, k_nee, s, n_loc, 2)
             wi_e, pdf_e = em.sample_dir(env_sampler, u_nee)
-            shadowed = do_occlude(pos, wi_e)
+            # both marches of the vertex in one fused kernel
+            hit, shadowed = do_pair(pos, wi, wi_e)
             rec_wi_e = wi_e.astype(jnp.bfloat16)
             rec_pdf_e = pdf_e.astype(jnp.bfloat16)
             uv_e = em.bilinear_coords(wi_e, eh, ew)
@@ -439,11 +462,7 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             rec_wi_e = None
             rec_pdf_e = None
             uv_e = None
-
-        u1 = _stream_uniform(cfg, k_lobe, s, n_loc, 1)
-        u2 = _stream_uniform(cfg, k_uv, s, n_loc, 2)
-        wi = sg(bsdf.sample_dirs(blob, u1[..., 0], u2, wo, nrm))
-        hit = do_march(pos, wi)
+            hit = do_march(pos, wi)
         # pdf of the envmap strategy at the lobe direction (BSDF-side MIS
         # weight) — detached, so computed here where the CDF tables'
         # (…, W) intermediates are forward-transients, never checkpoint

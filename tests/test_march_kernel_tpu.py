@@ -73,3 +73,36 @@ def test_kernel_matches_mip_on_fixture():
                                       n_steps=24, fine_steps=6)
     assert hit_agree > 0.995, hit_agree
     assert idx_agree > 0.99, idx_agree
+
+
+def test_pair_kernel_matches_v2_on_fixture():
+    """march_pair (v3: paired lobe+shadow, R-row blocks, broadcast-row
+    lookups) must be bit-identical to two march_fused (v2) calls."""
+    from materialist_tpu.ops.pallas.march_kernel import march_pair
+    from materialist_tpu.io import exr
+    import os
+    p = "/root/reference/output_imgs/indoor/depthPred.exr"
+    if not os.path.exists(p):
+        pytest.skip("reference fixtures unavailable")
+    depth = jnp.asarray(exr.read(p))[..., 0]
+    cam = Camera(512, 512)
+    gbuf = make_gbuffer(depth, cam, flip_depth=True)
+    n = 512 * 512
+    pos = gbuf.position.reshape(n, 3)
+    dl = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    dl = dl / jnp.linalg.norm(dl, axis=-1, keepdims=True)
+    dn = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    dn = dn / jnp.linalg.norm(dn, axis=-1, keepdims=True)
+
+    h3, s3 = march_pair(cam, gbuf.dist, gbuf.valid, pos, dl, dn,
+                        n_steps=24, fine_steps=6, shadow_steps=16,
+                        shadow_fine_steps=2)
+    h2 = march_fused(cam, gbuf.dist, gbuf.valid, pos, dl,
+                     n_steps=24, fine_steps=6)
+    s2 = march_fused(cam, gbuf.dist, gbuf.valid, pos, dn,
+                     n_steps=16, fine_steps=2).hit
+    np.testing.assert_array_equal(np.asarray(h3.hit), np.asarray(h2.hit))
+    both = np.asarray(h3.hit) & np.asarray(h2.hit)
+    np.testing.assert_array_equal(np.asarray(h3.idx)[both],
+                                  np.asarray(h2.idx)[both])
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(s2))
