@@ -105,6 +105,14 @@ def main():
         extra_cfg = dict(march_impl="exact", march_vectorized=True,
                          march_steps=8, shadow_steps=8)
     cfg_full = RenderConfig(spp=SPP, chunk=8, **extra_cfg)
+    if jax.default_backend() == "tpu" \
+            and os.environ.get("BENCH_NO_COMPACT") != "1":
+        from materialist_tpu.render.shader import probe_compact_caps
+        caps = probe_compact_caps(jax.random.PRNGKey(99), cfg_full, cam,
+                                  gbuf, mats, envmap)
+        cfg_full = cfg_full._replace(compact_caps=caps)
+        print(f"[bench] wavefront compaction caps: {caps}",
+              file=sys.stderr, flush=True)
 
     def maps_of(p, extra):
         return p["mats"], p["envmap"]

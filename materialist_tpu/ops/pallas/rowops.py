@@ -335,12 +335,15 @@ def compact_sel(alive, cap: int):
     dest = jnp.cumsum(a) - 1                      # monotone where alive
     count = jnp.minimum(dest[-1] + 1, cap)
     keep = alive & (dest < cap)
+    # dead rays scatter ZERO into their neighboring prefix slot (dest is
+    # the running prefix count there) — NOT into row 0, which would
+    # stretch every block's span back to tile 0 and make the coherent
+    # span sweep quadratic in the block index
     dest_c = jnp.clip(dest, 0, cap - 1)
     hi, lo = _f32_exact_split(jnp.arange(m, dtype=jnp.int32))
     vals = jnp.stack([jnp.where(keep, hi, 0.0),
                       jnp.where(keep, lo, 0.0)], axis=-1)
-    packed = row_scatter_add(vals, jnp.where(keep, dest_c, 0), cap,
-                             exact=True, coherent=True)
+    packed = row_scatter_add(vals, dest_c, cap, exact=True, coherent=True)
     return _f32_exact_join(packed[:, 0], packed[:, 1]), count
 
 

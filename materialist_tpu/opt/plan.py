@@ -49,7 +49,8 @@ class StepPlan(NamedTuple):
 
 
 def plan_step(res: int, spp: int, hbm_bytes: int = HBM_BYTES_V5E,
-              bounces: int = 3, max_chunk: int = 8) -> StepPlan:
+              bounces: int = 3, max_chunk: int = 8,
+              vert_frac: float = 1.0) -> StepPlan:
     """Pick accumulation/record settings that fit ``hbm_bytes``.
 
     Preference order (fastest first):
@@ -60,7 +61,10 @@ def plan_step(res: int, spp: int, hbm_bytes: int = HBM_BYTES_V5E,
     """
     budget = hbm_bytes * HEADROOM
     n_px = res * res
-    verts_total = float(n_px) * spp * bounces
+    # vert_frac < 1: wavefront compaction (RenderConfig.compact_caps)
+    # shrinks every secondary bounce's records/working set to the live
+    # fraction — (1 + Σcaps)/bounces of the uncompacted vertex count
+    verts_total = float(n_px) * spp * bounces * vert_frac
 
     # groups: bound one group's shade-vjp working set to half the budget
     groups = 1

@@ -68,7 +68,11 @@ def make_phase_step(cfg_full: RenderConfig, cam, gbuf, maps_of: Callable,
     """
     h, w = gbuf.dist.shape
     if plan is None:
-        plan = plan_step(max(h, w), cfg_full.spp, max_chunk=cfg_full.chunk)
+        caps = cfg_full.compact_caps
+        bounces = max(cfg_full.max_depth - 1, 1)
+        vert_frac = (1.0 + sum(caps)) / bounces if caps else 1.0
+        plan = plan_step(max(h, w), cfg_full.spp, max_chunk=cfg_full.chunk,
+                         bounces=bounces, vert_frac=vert_frac)
     n_groups = max(min(plan.groups, cfg_full.spp), 1)
     spp_group = max(cfg_full.spp // n_groups, 1)
     cfg = cfg_full._replace(

@@ -73,6 +73,19 @@ class RenderConfig(NamedTuple):
     # uniform (unbiased); measured ≈2× lower estimator variance at spp 16
     # on the indoor fixture. Pure arithmetic on the existing PRNG keys —
     # no extra memory traffic, identical trace/shade determinism.
+    compact_caps: tuple = ()  # wavefront path compaction: per-secondary-
+    # bounce ray-capacity fractions of the chunk's ray count, e.g.
+    # (0.5, 0.25) for max_depth 4. After each lobe march the DEAD rays
+    # (miss ⇒ no further vertices) are dropped by a stable partition and
+    # bounce b+1 runs on the live prefix only — measured alive fractions
+    # on the fixtures are 0.40/0.16 (indoor) and 0.25/0.08 (jinjya), so
+    # most secondary lanes were dead weight in every march/gather/shade
+    # op. Stable partition keeps ray order ascending, so every reordering
+    # is a *coherent* span-kernel gather/scatter (~3 ns/row), and the
+    # per-ray estimator is UNCHANGED (same draws via film-indexed streams,
+    # same marches, same records — tests assert numeric agreement). Live
+    # rays beyond a cap are treated as dead: size caps with margin
+    # (probe_compact_caps). Empty tuple disables compaction.
 
 
 def _march_valid(cfg: RenderConfig, gbuf: GBuffer):
@@ -388,16 +401,44 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                           (s, n_loc, 3))
     identity0 = bsdf.table is not None
 
+    # wavefront compaction state (cfg.compact_caps): base_alive gates the
+    # live rays of the CURRENT bounce's array; film_idx maps each row of a
+    # compacted array back to its (sample, pixel) slot in the chunk grid;
+    # pending holds the (sel, count, vtx, film, wo16) extras describing
+    # how the next bounce's arrays were formed (recorded for the shade)
+    m0 = s * n_loc
+    do_compact = bool(cfg.compact_caps) and identity0 and k_blob is not None
+    base_alive = None
+    film_idx = None
+    pad_count = None
+    pending = None
+    if do_compact:
+        from materialist_tpu.ops.pallas.rowops import (
+            _f32_exact_join, _f32_exact_split, compact_sel,
+            gather_rows_coherent)
+        valid_rows = _slice_rows(gbuf.valid.reshape(n), off, n_loc)
+        base_alive = jnp.broadcast_to(valid_rows, (s, n_loc))
+
+    def _caps_abs(b_next):
+        frac = cfg.compact_caps[min(b_next - 1,
+                                    len(cfg.compact_caps) - 1)]
+        cap = int(-(-(frac * m0) // 1024) * 1024)
+        return max(min(cap, m0), 1024)
+
     records = []
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
+        extras = pending
+        pending = None
 
         if b == 0 and identity0 and cfg.film_jitter > 0.0:
             # continuous film AA: jittered ray + interpolated geometry;
             # materials remain the identity row (floor(u+.5±r) == u)
-            nrm_geo, pos, wo, _ = _primary_state(key, cfg, cam, gbuf, s,
-                                                 film)
+            nrm_geo, pos, wo, valid0 = _primary_state(key, cfg, cam, gbuf,
+                                                      s, film)
+            if do_compact:
+                base_alive = base_alive & valid0
             blob = sg(_slice_rows(bsdf.table, off, n_loc))
             rec_blob = None
             rec_nrm = None
@@ -446,11 +487,27 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
         eh, ew = envmap.shape[0], envmap.shape[1]
-        u1 = _stream_uniform(cfg, k_lobe, s, n_loc, 1)
-        u2 = _stream_uniform(cfg, k_uv, s, n_loc, 2)
+        if film_idx is None:
+            u1 = _stream_uniform(cfg, k_lobe, s, n_loc, 1)
+            u2 = _stream_uniform(cfg, k_uv, s, n_loc, 2)
+            u_nee = (_stream_uniform(cfg, k_nee, s, n_loc, 2)
+                     if cfg.nee else None)
+        else:
+            # compacted bounce: draw the per-(sample, pixel) streams on
+            # the full grid (identical values to the uncompacted
+            # estimator) and pull the surviving rays' draws through in
+            # ONE coherent span gather (film_idx is ascending)
+            ug = [_stream_uniform(cfg, k_lobe, s, n_loc, 1),
+                  _stream_uniform(cfg, k_uv, s, n_loc, 2)]
+            if cfg.nee:
+                ug.append(_stream_uniform(cfg, k_nee, s, n_loc, 2))
+            ug = jnp.concatenate(ug, axis=-1).reshape(m0, -1)
+            up = gather_rows_coherent(ug, film_idx)[None]
+            u1 = up[..., 0:1]
+            u2 = up[..., 1:3]
+            u_nee = up[..., 3:5] if cfg.nee else None
         wi = sg(bsdf.sample_dirs(blob, u1[..., 0], u2, wo, nrm))
         if cfg.nee:
-            u_nee = _stream_uniform(cfg, k_nee, s, n_loc, 2)
             wi_e, pdf_e = em.sample_dir(env_sampler, u_nee)
             # both marches of the vertex in one fused kernel
             hit, shadowed = do_pair(pos, wi, wi_e)
@@ -458,7 +515,7 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             rec_pdf_e = pdf_e.astype(jnp.bfloat16)
             uv_e = em.bilinear_coords(wi_e, eh, ew)
         else:
-            shadowed = jnp.zeros((s, n_loc), bool)
+            shadowed = jnp.zeros(wi.shape[:-1], bool)
             rec_wi_e = None
             rec_pdf_e = None
             uv_e = None
@@ -497,9 +554,37 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
 
         records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm,
                         rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
-                        rec_uvi, rec_uvf))
-        idx = hit.idx
-        wo = -wi
+                        rec_uvi, rec_uvf, extras))
+
+        if do_compact and b < cfg.max_depth - 2:
+            # stable-partition the live rays (hit ∧ alive) of this bounce;
+            # bounce b+1 runs on the compacted prefix only. Pull the
+            # surviving rays' continuation state through in ONE coherent
+            # span gather: [vertex idx | film hi/lo | lobe dir].
+            alive = hit.hit & base_alive
+            cap = _caps_abs(b + 1)
+            sel, count = compact_sel(alive.reshape(-1), cap)
+            if film_idx is None:
+                film_src = jnp.broadcast_to(
+                    jnp.arange(m0, dtype=jnp.int32).reshape(s, n_loc),
+                    (s, n_loc))
+            else:
+                film_src = film_idx[None]
+            f_hi, f_lo = _f32_exact_split(film_src)
+            pack_src = jnp.concatenate(
+                [hit.idx.astype(jnp.float32)[..., None],
+                 f_hi[..., None], f_lo[..., None], wi], axis=-1)
+            pack = gather_rows_coherent(pack_src.reshape(-1, 6), sel)
+            idx = pack[:, 0].astype(jnp.int32)[None]          # (1, cap)
+            film_idx = _f32_exact_join(pack[:, 1], pack[:, 2])  # (cap,)
+            wo = -pack[None, :, 3:6]
+            pad_count = count
+            base_alive = (jnp.arange(cap, dtype=jnp.int32)
+                          < count)[None]                       # (1, cap)
+            pending = (sel, count, idx[0], film_idx)
+        else:
+            idx = hit.idx
+            wo = -wi
     return tuple(records)
 
 
@@ -550,10 +635,37 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
                  and bsdf.kind == "disney"
                  and em._is_small(envmap.shape[0], envmap.shape[1])
                  and (jax.default_backend() == "tpu" or _sb._INTERPRET))
+    m0 = s * n_loc
+    film_rad = None   # (m0, 3) accumulator for compacted-bounce radiance
     for b in range(cfg.max_depth - 1):
         (shadowed, hit_ok, hit_idx, rec_blob, rec_nrm,
          rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
-         rec_uvi, rec_uvf) = records[b]
+         rec_uvi, rec_uvf, extras) = records[b]
+
+        if extras is not None:
+            # wavefront compaction (trace recorded how this bounce's
+            # arrays were formed): pull the throughput chain through the
+            # stable partition with a coherent differentiable gather; the
+            # other inputs are reads of the compacted records
+            from materialist_tpu.ops.pallas.rowops import (
+                gather_coherent_diff, gather_rows_coherent,
+                scatter_add_coherent_diff)
+            sel, count, vtx_idx, film_pos = extras
+            cap = sel.shape[0]
+            throughput = gather_coherent_diff(
+                throughput.reshape(-1, 3), sel)[None]          # (1, cap, 3)
+            idx = vtx_idx[None]
+            # incoming direction exactly as the uncompacted shade derives
+            # it: the PREVIOUS bounce's bf16 lobe record, normalized after
+            # the round trip, pulled through the partition (detached)
+            wi_prev = gather_rows_coherent(
+                records[b - 1][8].astype(jnp.float32).reshape(-1, 3), sel)
+            wi_prev = wi_prev / jnp.maximum(
+                jnp.linalg.norm(wi_prev, axis=-1, keepdims=True), 1e-9)
+            wo = -wi_prev[None]
+            alive = (jnp.arange(cap, dtype=jnp.int32) < count)[None]
+            if film_rad is None:
+                film_rad = jnp.zeros((m0, 3), jnp.float32)
 
         if b == 0 and identity0 and cfg.film_jitter > 0.0:
             # continuous film AA (same key as trace ⇒ identical state);
@@ -606,8 +718,16 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
                 axis=-1).astype(jnp.bfloat16)
             blob5 = jnp.broadcast_to(blob[..., :5], tgt + (5,))
             throughput, rad_delta = _sb.shade_bounce_fused(
-                envmap, blob5, throughput, auxf, recb)
-            radiance = radiance + rad_delta
+                envmap, blob5, jnp.broadcast_to(throughput, tgt + (3,)),
+                auxf, recb)
+            if extras is not None:
+                # compacted bounce: contributions return to their film
+                # slots through a coherent differentiable scatter-add
+                # (padding rows carry zero — their gates are dead)
+                film_rad = film_rad + scatter_add_coherent_diff(
+                    m0, rad_delta.reshape(-1, 3), film_pos)
+            else:
+                radiance = radiance + rad_delta
             alive = alive & hit_ok
             idx = hit_idx
             wo = -win
@@ -629,7 +749,9 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             w_mis = pdf_e / (pdf_e + sg(pdf_b_at_e) + 1e-9)
             contrib = throughput * f_e / (pdf_e + 1e-9) * w_mis * le
             gate = (alive & ~shadowed)[..., None]
-            radiance = radiance + jnp.where(gate, contrib, 0.0)
+            contrib_b = jnp.where(gate, contrib, 0.0)
+        else:
+            contrib_b = 0.0
 
         # ---- BSDF lobe: the RECORDED trace direction (normalized back to
         # unit length after the bf16 round trip) — the hit/pdf_at records
@@ -653,8 +775,13 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         else:
             w_mis_b = 1.0
         miss_gate = (alive & ~hit_ok)[..., None]
-        radiance = radiance + jnp.where(
+        contrib_b = contrib_b + jnp.where(
             miss_gate, throughput * weight * w_mis_b * le_miss, 0.0)
+        if extras is not None:
+            film_rad = film_rad + scatter_add_coherent_diff(
+                m0, contrib_b.reshape(-1, 3), film_pos)
+        else:
+            radiance = radiance + contrib_b
 
         # advance the path (snap to the hit pixel's G-buffer position)
         throughput = throughput * weight
@@ -662,6 +789,8 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
         idx = hit_idx
         wo = -wi
 
+    if film_rad is not None:
+        radiance = radiance + film_rad.reshape(s, n_loc, 3)
     img = jnp.mean(radiance, axis=0)  # mean over the chunk's samples
     return jnp.nan_to_num(img, nan=0.0, posinf=0.0, neginf=0.0).reshape(
         n_rows, w, 3)
@@ -699,6 +828,33 @@ def trace_step_records(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         out.append(recs)
         anchor = recs[0][0]    # pin chunk i+1 behind chunk i's records
     return tuple(out)
+
+
+def probe_compact_caps(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
+                       mats: Materials, envmap, bsdf=None,
+                       margin: float = 1.3):
+    """Measure per-bounce alive fractions on ONE chunk and return
+    compact_caps sized with `margin` (rounded up to 1/16ths so cap sizes
+    — and therefore compiled programs — are stable across nearby scenes).
+
+    The alive fraction depends on geometry (static during an optimization)
+    and weakly on roughness (lobe directions); the margin absorbs the
+    drift as materials evolve. Live rays beyond a cap degrade to 'dead'
+    (dropped contribution), so a blown margin degrades variance, never
+    correctness of what is accumulated."""
+    cfg_p = cfg._replace(spp=min(cfg.chunk, cfg.spp), compact_caps=())
+    recs = jax.jit(lambda k: trace_step_records(
+        k, cfg_p, cam, gbuf, mats, envmap, bsdf))(key)[0]
+    h, w = gbuf.dist.shape
+    valid = gbuf.valid.reshape(-1)[None]
+    caps = []
+    alive = jnp.broadcast_to(valid, recs[0][1].shape)
+    for b in range(cfg.max_depth - 2):
+        alive = alive & recs[b][1]
+        frac = float(jnp.mean(alive.astype(jnp.float32)))
+        cap = min(max(-(-frac * margin * 16 // 1), 1) / 16.0, 1.0)
+        caps.append(cap)
+    return tuple(caps)
 
 
 def shade_from_records(key, records, cfg: RenderConfig, cam: Camera,
