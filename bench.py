@@ -123,10 +123,17 @@ def main():
             jnp.abs(pred - gt_srgb))
         return loss, loss
 
-    phase = make_phase_step(cfg_full, cam, gbuf, maps_of, loss_of)
-    print(f"[bench] plan: groups={phase.n_groups} chunk={phase.cfg.chunk} "
-          f"replay={phase.cfg.replay_blob}", file=sys.stderr, flush=True)
-    step = phase.make_step(optax.adam(3e-4))
+    from materialist_tpu.opt.plan import plan_step
+
+    def build(plan=None):
+        phase = make_phase_step(cfg_full, cam, gbuf, maps_of, loss_of,
+                                plan=plan)
+        print(f"[bench] plan: groups={phase.n_groups} "
+              f"chunk={phase.cfg.chunk} replay={phase.cfg.replay_blob}",
+              file=sys.stderr, flush=True)
+        return phase, phase.make_step(optax.adam(3e-4))
+
+    phase, step = build()
     params = {"mats": mats, "envmap": envmap}
     opt_state = optax.adam(3e-4).init(params)
 
@@ -137,19 +144,41 @@ def main():
                                              *records)
         return params, opt_state, loss, records
 
-    # ---- warm up / compile (both programs)
-    params, opt_state, loss, records = one_iter(params, opt_state,
-                                                jax.random.PRNGKey(0))
-    float(loss)  # forces completion (block_until_ready does not block
-    #              through this environment's device tunnel)
+    # ---- warm up / compile (both programs); on OOM, retry with a more
+    # conservative plan (double the accumulation groups) — the byte model
+    # is deliberately coarse, the ladder is the backstop
+    for attempt in range(3):
+        try:
+            params, opt_state, loss, records = one_iter(
+                params, opt_state, jax.random.PRNGKey(0))
+            float(loss)  # forces completion (block_until_ready does not
+            #              block through this environment's device tunnel)
+            break
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
+                raise
+            records = None
+            p = phase.plan
+            newp = p._replace(groups=min(p.groups * 2, SPP),
+                              chunk=max(p.chunk // 2, 1),
+                              replay_blob=False)
+            print(f"[bench] OOM; retrying with plan {newp}",
+                  file=sys.stderr, flush=True)
+            phase, step = build(newp)
+            params = {"mats": mats, "envmap": envmap}
+            opt_state = optax.adam(3e-4).init(params)
 
     # ---- FRESH-TRACE protocol (K=1, the reference's behavior): measured
-    # over actual re-trace-every-iteration steps (r3 advice: not derived)
+    # over actual re-trace-every-iteration steps (r3 advice: not derived).
+    # Drop every records reference BEFORE the next trace allocates — two
+    # generations of cached records resident at once OOM the 1024² step.
+    records = None
     n_fresh = int(os.environ.get("BENCH_FRESH_ITERS", "3"))
     t0 = time.time()
     for i in range(n_fresh):
-        params, opt_state, loss, _ = one_iter(params, opt_state,
-                                              jax.random.PRNGKey(i + 1))
+        out = one_iter(params, opt_state, jax.random.PRNGKey(i + 1))
+        params, opt_state, loss = out[0], out[1], out[2]
+        del out
     float(loss)
     fresh_ms = (time.time() - t0) / n_fresh * 1000.0
     print(f"[bench] fresh-trace (K=1) ms/iter = {fresh_ms:.1f}",

@@ -50,9 +50,14 @@ PI = math.pi
 # channel layouts (see _shade_chunk's fused branch for the packing)
 # blob  (s, n, 5)  f32 : albedo rgb, roughness, metallic     [differentiable]
 # thr   (s, n, 3)  f32 : path throughput                     [differentiable]
-# auxf  (s, n, 11) f32 : nrm(3), wo(3), win(3), gate_nee, gate_miss
+# nrmf  (s, n, 3)  f32 : shading normal — kept f32: bf16-rounding the
+#                        normal alone moves the roughness gradient's L1
+#                        aggregate ~15% through dGGX/dρ (measured r4);
+#                        wo/win are bf16-derived anyway, so only the
+#                        normal needs the full-precision plane
+# auxf  (s, n, 8)  bf16: wo(3), win(3), gate_nee, gate_miss
 # recb  (s, n, 13) bf16: pdf_e, pdf_at, wi_e(3), uvf(4), uvi(4)
-N_BLOB, N_AUX, N_REC = 5, 11, 13
+N_BLOB, N_NRM, N_AUX, N_REC = 5, 3, 8, 13
 
 
 def _sg(x):
@@ -167,14 +172,14 @@ def _bounce_math(det, aR, aG, aB, rough, metal, tx, ty, tz,
             cR + mR, cG + mG, cB + mB)
 
 
-def _unpack_det(auxf_ref, recb_ref):
-    f = lambda i: auxf_ref[i]      # noqa: E731
+def _unpack_det(nrm_ref, auxf_ref, recb_ref):
+    f = lambda i: auxf_ref[i].astype(jnp.float32)   # noqa: E731
     r = lambda i: recb_ref[i].astype(jnp.float32)   # noqa: E731
     det = {
-        "n_x": f(0), "n_y": f(1), "n_z": f(2),
-        "wo_x": f(3), "wo_y": f(4), "wo_z": f(5),
-        "win_x": f(6), "win_y": f(7), "win_z": f(8),
-        "gate_nee": f(9), "gate_miss": f(10),
+        "n_x": nrm_ref[0], "n_y": nrm_ref[1], "n_z": nrm_ref[2],
+        "wo_x": f(0), "wo_y": f(1), "wo_z": f(2),
+        "win_x": f(3), "win_y": f(4), "win_z": f(5),
+        "gate_nee": f(6), "gate_miss": f(7),
         "pdf_e": r(0), "pdf_at": r(1),
         "wie_x": r(2), "wie_y": r(3), "wie_z": r(4),
     }
@@ -184,8 +189,9 @@ def _unpack_det(auxf_ref, recb_ref):
 
 
 def _make_fwd_kernel(n_planes: int, h: int, w: int):
-    def kernel(env_ref, blob_ref, thr_ref, auxf_ref, recb_ref, out_ref):
-        det, uvf, uvi = _unpack_det(auxf_ref, recb_ref)
+    def kernel(env_ref, blob_ref, thr_ref, nrm_ref, auxf_ref, recb_ref,
+               out_ref):
+        det, uvf, uvi = _unpack_det(nrm_ref, auxf_ref, recb_ref)
         le = _lookup4(env_ref, n_planes, w, h, uvi[0], uvi[1],
                       uvf[0], uvf[1])
         lm = _lookup4(env_ref, n_planes, w, h, uvi[2], uvi[3],
@@ -201,9 +207,9 @@ def _make_fwd_kernel(n_planes: int, h: int, w: int):
 
 
 def _make_bwd_kernel(n_planes: int, h: int, w: int):
-    def kernel(env_ref, blob_ref, thr_ref, auxf_ref, recb_ref, cot_ref,
-               dblob_ref, dthr_ref, dle_ref):
-        det, uvf, uvi = _unpack_det(auxf_ref, recb_ref)
+    def kernel(env_ref, blob_ref, thr_ref, nrm_ref, auxf_ref, recb_ref,
+               cot_ref, dblob_ref, dthr_ref, dle_ref):
+        det, uvf, uvi = _unpack_det(nrm_ref, auxf_ref, recb_ref)
         le = _lookup4(env_ref, n_planes, w, h, uvi[0], uvi[1],
                       uvf[0], uvf[1])
         lm = _lookup4(env_ref, n_planes, w, h, uvi[2], uvi[3],
@@ -249,12 +255,13 @@ def _cspec(c):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
-def _fwd_call(env_planes, blob, thr, auxf, recb, h: int, w: int):
+def _fwd_call(env_planes, blob, thr, nrmf, auxf, recb, h: int, w: int):
     s, n = thr.shape[:2]
     n_planes = env_planes.shape[0] // 24
     b_t = _to_planes(blob)
     t_t = _to_planes(thr)
-    a_t = _to_planes(auxf)
+    n_t = _to_planes(nrmf, jnp.float32)
+    a_t = _to_planes(auxf, jnp.bfloat16)
     r_t = _to_planes(recb)
     nb = t_t.shape[1]
     out = pl.pallas_call(
@@ -263,24 +270,26 @@ def _fwd_call(env_planes, blob, thr, auxf, recb, h: int, w: int):
         in_specs=[
             pl.BlockSpec((n_planes * 24, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            _cspec(N_BLOB), _cspec(3), _cspec(N_AUX), _cspec(N_REC),
+            _cspec(N_BLOB), _cspec(3), _cspec(N_NRM), _cspec(N_AUX),
+            _cspec(N_REC),
         ],
         out_specs=_cspec(6),
         out_shape=jax.ShapeDtypeStruct((6, nb, 8, 128), jnp.float32),
         interpret=_INTERPRET,
-    )(env_planes, b_t, t_t, a_t, r_t)
+    )(env_planes, b_t, t_t, n_t, a_t, r_t)
     o = _from_planes(out, s, n)
     return o[..., 0:3], o[..., 3:6]
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
-def _bwd_call(env_planes, blob, thr, auxf, recb, cot_thr, cot_rad,
+def _bwd_call(env_planes, blob, thr, nrmf, auxf, recb, cot_thr, cot_rad,
               h: int, w: int):
     s, n = thr.shape[:2]
     n_planes = env_planes.shape[0] // 24
     b_t = _to_planes(blob)
     t_t = _to_planes(thr)
-    a_t = _to_planes(auxf)
+    n_t = _to_planes(nrmf, jnp.float32)
+    a_t = _to_planes(auxf, jnp.bfloat16)
     r_t = _to_planes(recb)
     c_t = _to_planes(jnp.concatenate([cot_thr, cot_rad], axis=-1))
     nb = t_t.shape[1]
@@ -291,13 +300,13 @@ def _bwd_call(env_planes, blob, thr, auxf, recb, cot_thr, cot_rad,
         in_specs=[
             pl.BlockSpec((n_planes * 24, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            _cspec(N_BLOB), _cspec(3), _cspec(N_AUX), _cspec(N_REC),
-            _cspec(6),
+            _cspec(N_BLOB), _cspec(3), _cspec(N_NRM), _cspec(N_AUX),
+            _cspec(N_REC), _cspec(6),
         ],
         out_specs=(_cspec(N_BLOB), _cspec(3), _cspec(6)),
         out_shape=(shp(N_BLOB), shp(3), shp(6)),
         interpret=_INTERPRET,
-    )(env_planes, b_t, t_t, a_t, r_t, c_t)
+    )(env_planes, b_t, t_t, n_t, a_t, r_t, c_t)
     return (_from_planes(db, s, n), _from_planes(dt, s, n),
             _from_planes(dl, s, n))
 
@@ -345,27 +354,27 @@ def _denv_from_dle(envmap, recb, dle):
 @functools.lru_cache(maxsize=8)
 def _get_bounce_op(h: int, w: int):
     @jax.custom_vjp
-    def bounce(envmap, blob, thr, auxf, recb):
+    def bounce(envmap, blob, thr, nrmf, auxf, recb):
         planes = env_lookup_planes(envmap)
-        return _fwd_call(planes, blob, thr, auxf, recb, h, w)
+        return _fwd_call(planes, blob, thr, nrmf, auxf, recb, h, w)
 
-    def fwd(envmap, blob, thr, auxf, recb):
-        out = bounce(envmap, blob, thr, auxf, recb)
-        return out, (envmap, blob, thr, auxf, recb)
+    def fwd(envmap, blob, thr, nrmf, auxf, recb):
+        out = bounce(envmap, blob, thr, nrmf, auxf, recb)
+        return out, (envmap, blob, thr, nrmf, auxf, recb)
 
     def bwd(res, cot):
-        envmap, blob, thr, auxf, recb = res
+        envmap, blob, thr, nrmf, auxf, recb = res
         planes = env_lookup_planes(envmap)
-        db, dt, dle = _bwd_call(planes, blob, thr, auxf, recb,
+        db, dt, dle = _bwd_call(planes, blob, thr, nrmf, auxf, recb,
                                 cot[0], cot[1], h, w)
         denv = _denv_from_dle(envmap, recb, dle)
-        return denv, db, dt, None, None
+        return denv, db, dt, None, None, None
 
     bounce.defvjp(fwd, bwd)
     return bounce
 
 
-def shade_bounce_fused(envmap, blob5, thr, auxf, recb):
+def shade_bounce_fused(envmap, blob5, thr, nrmf, auxf, recb):
     """One fused differentiable bounce (TPU/interpret).
 
     Args:
@@ -374,10 +383,13 @@ def shade_bounce_fused(envmap, blob5, thr, auxf, recb):
             (differentiable; its vjp flows back through whatever gather
             produced it).
         thr: (s, n, 3) f32 throughput (differentiable).
-        auxf: (s, n, 11) f32 — nrm(3), wo(3), win(3), gate_nee, gate_miss.
+        nrmf: (s, n, 3) f32 — shading normal (full precision; see the
+            channel-layout note above).
+        auxf: (s, n, 8) — wo(3), win(3), gate_nee, gate_miss (consumed
+            in bf16).
         recb: (s, n, 13) bf16 — pdf_e, pdf_at, wi_e(3), uvf(4), uvi(4).
     Returns:
         (thr_out (s, n, 3), rad_delta (s, n, 3)).
     """
     return _get_bounce_op(envmap.shape[0], envmap.shape[1])(
-        envmap, blob5, thr, auxf, recb)
+        envmap, blob5, thr, nrmf, auxf, recb)

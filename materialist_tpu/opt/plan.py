@@ -29,16 +29,19 @@ from typing import NamedTuple
 # bytes per path-vertex of trace records (render/shader.py
 # trace_step_records: shadowed/hit flags, hit idx, NEE dir+pdfs, lobe dir
 # — plus the bf16 material blob + normal rows in replay mode)
-REPLAY_REC_BYTES = 60.0
-LIGHT_REC_BYTES = 38.0
+REPLAY_REC_BYTES = 84.0   # +6 B r4: the packed shade normal rides f32
+LIGHT_REC_BYTES = 54.0    # (shadebounce.py channel-layout note)
 # bytes per path-vertex of the shade pass's vjp working set (f32 lobe /
 # NEE evaluation state + cotangents, checkpoint-recomputed per group)
-SHADE_VJP_BYTES = 96.0
+SHADE_VJP_BYTES = 192.0   # r4: fused-kernel ins/outs + cots
+# + sort/scatter temporaries measured closer to ~180 B/vertex
 # bytes per primary ray of the trace pass's in-flight state per chunk
 TRACE_CHUNK_BYTES = 320.0
 
 HBM_BYTES_V5E = 16 * 1024 ** 3
-HEADROOM = 0.60          # fraction of HBM the planned residents may use
+HEADROOM = 0.50          # fraction of HBM the planned residents may use
+# (r4: 0.60 with replay records OOM'd the 1024^2 x 64spp step on v5e —
+# the model omits compaction temporaries and allocator fragmentation)
 
 
 class StepPlan(NamedTuple):

@@ -127,10 +127,15 @@ def march(cam: Camera, dist_map, valid_map, origin, direction,
     t_hit = jnp.where(found, hi, t_cross)
 
     excess_hit, idx_hit, ok_hit, _ = ray_excess(t_hit)
-    # thickness heuristic: reject crossings that jump far behind the surface
+    # thickness heuristic: reject crossings that jump far behind the
+    # surface. Tested on the REFINED excess (like the mip/fused impls'
+    # fine-step excess): for a true hit the bisection converges onto the
+    # surface (excess → +0), while a silhouette pass-through converges to
+    # the depth cliff, where the excess IS the gap behind the sheet.
+    # (r4: with n_refine == 0 this degrades to the coarse-step excess.)
     q = origin + t_hit[..., None] * direction
     local = jnp.maximum(-q[..., 2], 1e-6)
-    thin = excess_cross < interval_frac * local
+    thin = jnp.where(found, excess_hit, excess_cross) < interval_frac * local
     hit = found & thin & ok_hit
     return Hit(hit=hit, idx=idx_hit, t=t_hit, exited=exited | ~hit)
 
@@ -190,7 +195,10 @@ def _march_vectorized(cam: Camera, dist_flat, valid_flat, origin, direction,
 
     q = origin + t_hit[..., None] * direction
     local = jnp.maximum(-q[..., 2], 1e-6)
-    thin = excess_cross < interval_frac * local
+    # refined-excess thin test (see the sequential variant): e_hit is the
+    # excess at the first refined substep crossing — small for a true
+    # surface hit, ≈ the gap behind the sheet for a pass-through
+    thin = (e_hit if n_refine > 0 else excess_cross) < interval_frac * local
     hit = any_cross & thin & ok_hit & (e_hit > -jnp.inf)
     exited = jnp.any(exited_step & ~exited_before, axis=-1) & ~hit
     return Hit(hit=hit, idx=idx_hit, t=t_hit, exited=exited | ~hit)
@@ -198,9 +206,14 @@ def _march_vectorized(cam: Camera, dist_flat, valid_flat, origin, direction,
 
 def occluded(cam: Camera, dist_map, valid_map, origin, direction,
              n_steps: int = 16, **kw) -> jnp.ndarray:
-    """Boolean shadow query for NEE rays (march without refinement)."""
+    """Boolean shadow query for NEE rays. With a tight thickness bound
+    (interval_frac < 1) the thin test needs the refined excess — the
+    coarse-step excess of a true wall hit easily exceeds 5% of the view
+    distance — so a couple of refinement steps run; otherwise coarse-only
+    (the historical behavior, where thin never fires anyway)."""
+    n_refine = 2 if kw.get("interval_frac", 2.0) < 1.0 else 0
     h = march(cam, dist_map, valid_map, origin, direction,
-              n_steps=n_steps, n_refine=0, **kw)
+              n_steps=n_steps, n_refine=n_refine, **kw)
     return h.hit
 
 

@@ -73,6 +73,29 @@ class RenderConfig(NamedTuple):
     # uniform (unbiased); measured ≈2× lower estimator variance at spp 16
     # on the indoor fixture. Pure arithmetic on the existing PRNG keys —
     # no extra memory traffic, identical trace/shade determinism.
+    march_bg_fill: int = 0  # background-depth propagation across the
+    # grazing-masked bands (iterations of a 3×3 deeper-neighbor fill;
+    # 0 disables). The reference "propagates background depth across
+    # boundaries" (mesh_recon.py:161-175) so its mesh has extended
+    # background surfaces at silhouettes; this option reproduces that
+    # geometry for the march. MEASURED (r4, 512²×64spp vs
+    # rendered_img.exr): fill=16 → 21.12 dB, fill=0 → 21.33 dB — the
+    # extension slightly HURTS parity on the indoor fixture (the
+    # propagated bands occlude more than Mitsuba's stretched boundary
+    # triangles do), so it defaults off.
+    march_interval_frac: float = 0.05  # thickness heuristic: a march
+    # crossing whose penetration behind the (fine) surface exceeds
+    # interval_frac × the local view distance is a silhouette PASS-THROUGH
+    # (the ray went behind a thin object), not a hit — the heightfield is
+    # otherwise infinitely thick and over-occludes vs the reference's
+    # thin depth mesh (duplicated vertices at discontinuities,
+    # mesh_recon.py:182-300). The r4 bias hunt (scripts/diag_bias.py)
+    # identified this as THE interior-bias source of the 21.3 dB forward-
+    # parity plateau: at 512²×64spp vs rendered_img.exr, 2.0 (≈ never
+    # fires, the r3 behavior) → 21.33 dB; 0.50 → 21.33; 0.20 → 21.81;
+    # 0.10 → 23.36; **0.05 → 24.30**; 0.02 → 24.23. Disabling NEE shadows
+    # entirely gave 22.38 — finite thickness beats both extremes because
+    # it keeps true occlusion while letting rays pass behind thin sheets.
     compact_caps: tuple = ()  # wavefront path compaction: per-secondary-
     # bounce ray-capacity fractions of the chunk's ray count, e.g.
     # (0.5, 0.25) for max_depth 4. After each lobe march the DEAD rays
@@ -97,6 +120,40 @@ def _march_valid(cfg: RenderConfig, gbuf: GBuffer):
     return gbuf.valid & (cos_v > cfg.march_grazing_cos)
 
 
+def _max3x3(x):
+    """3×3 neighborhood max with edge clamping."""
+    p = jnp.pad(x, 1, mode="edge")
+    h, w = x.shape
+    out = x
+    for dv in (-1, 0, 1):
+        for du in (-1, 0, 1):
+            out = jnp.maximum(out, p[1 + dv:1 + dv + h, 1 + du:1 + du + w])
+    return out
+
+
+def _march_geometry(cfg: RenderConfig, gbuf: GBuffer):
+    """(dist, valid) the marches test against: grazing-masked bands are
+    FILLED with propagated background depth (mesh_recon.py:161-175
+    analog) instead of left as holes, so rays passing behind a silhouette
+    hit the extended background rather than escaping to the envmap.
+    Pixels invalid in the scene itself (mesh_mask) stay holes."""
+    sg = jax.lax.stop_gradient
+    march_ok = _march_valid(cfg, gbuf)
+    dist = sg(gbuf.dist)
+    if cfg.march_bg_fill <= 0:
+        return dist, march_ok
+    neg = jnp.float32(-1.0)
+    d = jnp.where(march_ok, dist, neg)
+    v = march_ok
+    scene_v = gbuf.valid
+    for _ in range(cfg.march_bg_fill):
+        dn = _max3x3(d)
+        fill = (~v) & scene_v & (dn > 0.0)
+        d = jnp.where(fill, dn, d)
+        v = v | fill
+    return jnp.where(v, d, dist), v
+
+
 def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
     """March/occlusion closures for the configured implementation.
 
@@ -104,6 +161,7 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
     march AND the NEE shadow march of a vertex in one fused kernel on TPU
     (ops/pallas/march_kernel.py::march_pair) — the marches are ~70% of the
     trace pass, and pairing shares the kernel launch and layout work."""
+    ivf = cfg.march_interval_frac
     if cfg.march_impl == "fused":
         from materialist_tpu.ops.pallas.march_kernel import (march_fused,
                                                              march_pair)
@@ -111,20 +169,23 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
         def do_march(pos_, wi_):
             return march_fused(cam, dist_map, valid_map, pos_, wi_,
                                n_steps=cfg.march_steps,
-                               fine_steps=cfg.fine_steps)
+                               fine_steps=cfg.fine_steps,
+                               interval_frac=ivf)
 
         def do_occlude(pos_, wi_):
             return march_fused(cam, dist_map, valid_map, pos_, wi_,
                                n_steps=cfg.shadow_steps,
                                fine_steps=max(cfg.shadow_fine_steps, 1),
-                               shadow_only=cfg.shadow_fine_steps == 0).hit
+                               shadow_only=cfg.shadow_fine_steps == 0,
+                               interval_frac=ivf).hit
 
         def do_pair(pos_, wi_, wi_e_):
             return march_pair(cam, dist_map, valid_map, pos_, wi_, wi_e_,
                               n_steps=cfg.march_steps,
                               fine_steps=cfg.fine_steps,
                               shadow_steps=cfg.shadow_steps,
-                              shadow_fine_steps=cfg.shadow_fine_steps)
+                              shadow_fine_steps=cfg.shadow_fine_steps,
+                              interval_frac=ivf)
     elif cfg.march_impl == "mip":
         mip = ss.build_min_mip(dist_map, valid_map, cfg.mip_factor)
         fine_table = ss.build_fine_table(dist_map, valid_map,
@@ -136,7 +197,8 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
                                 fine_steps=cfg.fine_steps,
                                 mip_factor=cfg.mip_factor,
                                 fine_table=fine_table,
-                                fine_factor=cfg.fine_factor)
+                                fine_factor=cfg.fine_factor,
+                                interval_frac=ivf)
 
         def do_occlude(pos_, wi_):
             return ss.march_mip(cam, dist_map, valid_map, mip, pos_, wi_,
@@ -145,7 +207,8 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
                                 mip_factor=cfg.mip_factor,
                                 shadow_only=cfg.shadow_fine_steps == 0,
                                 fine_table=fine_table,
-                                fine_factor=cfg.fine_factor).hit
+                                fine_factor=cfg.fine_factor,
+                                interval_frac=ivf).hit
 
         def do_pair(pos_, wi_, wi_e_):
             return do_march(pos_, wi_), do_occlude(pos_, wi_e_)
@@ -153,12 +216,14 @@ def _make_march_fns(cfg: RenderConfig, cam: Camera, dist_map, valid_map):
         def do_march(pos_, wi_):
             return ss.march(cam, dist_map, valid_map, pos_, wi_,
                             n_steps=cfg.march_steps,
-                            vectorized=cfg.march_vectorized)
+                            vectorized=cfg.march_vectorized,
+                            interval_frac=ivf)
 
         def do_occlude(pos_, wi_):
             return ss.occluded(cam, dist_map, valid_map, pos_, wi_,
                                n_steps=cfg.shadow_steps,
-                               vectorized=cfg.march_vectorized)
+                               vectorized=cfg.march_vectorized,
+                               interval_frac=ivf)
 
         def do_pair(pos_, wi_, wi_e_):
             return do_march(pos_, wi_), do_occlude(pos_, wi_e_)
@@ -348,6 +413,17 @@ def _pos_from_idx(cam: Camera, idx, dist):
     return d * dist[..., None]
 
 
+def _fused_shade_eligible(cfg: RenderConfig, bsdf, envmap) -> bool:
+    """Whether the fused Pallas shade-bounce kernel will shade this
+    configuration (ops/pallas/shadebounce.py). Trace and shade MUST agree:
+    in fused mode the trace records the kernel's packed detached inputs
+    (aux/recb) instead of the generic path's individual fields."""
+    from materialist_tpu.ops.pallas import shadebounce as _sb
+    return (cfg.nee and cfg.use_mesh_normal and bsdf.kind == "disney"
+            and em._is_small(envmap.shape[0], envmap.shape[1])
+            and (jax.default_backend() == "tpu" or _sb._INTERPRET))
+
+
 def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                        mats: Materials, envmap, bsdf=None, film=None):
     """Decision pass of the path-replay estimator: sample all stochastic
@@ -383,16 +459,19 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     # free for blob/normal, which are recorded in bf16 anyway); the view
     # distance is split hi/lo so the reconstructed f32 position keeps
     # ~2⁻¹⁶ relative accuracy against the march's bias tolerances.
+    march_dist, march_ok = _march_geometry(cfg, gbuf)
     k_blob = bsdf.table.shape[-1] if bsdf.table is not None else None
     if k_blob is not None:
-        dist_hi = dist_flat.astype(jnp.bfloat16).astype(jnp.float32)
-        dist_lo = dist_flat - dist_hi
+        # hit positions reconstruct from the MARCH depth (incl. the
+        # background-filled bands — the hit is on the extended surface)
+        mdist_flat = march_dist.reshape(n)
+        dist_hi = mdist_flat.astype(jnp.bfloat16).astype(jnp.float32)
+        dist_lo = mdist_flat - dist_hi
         combo = jnp.concatenate(
             [sg(bsdf.table), dist_hi[:, None], dist_lo[:, None],
              nrm_geo_flat], axis=-1)
-    dist_map = sg(gbuf.dist)
     do_march, do_occlude, do_pair = _make_march_fns(
-        cfg, cam, dist_map, _march_valid(cfg, gbuf))
+        cfg, cam, march_dist, march_ok)
 
     off, n_rows = _film_base(film, h, w)
     n_loc = n_rows * w
@@ -408,11 +487,17 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     # how the next bounce's arrays were formed (recorded for the shade)
     m0 = s * n_loc
     do_compact = bool(cfg.compact_caps) and identity0 and k_blob is not None
+    # fused-shade mode: record the shade kernel's packed detached inputs
+    # (rec_aux bf16: nrm|wo|win|gates, rec_recb bf16: pdfs|wi_e|uv taps) so
+    # the shade pass — AND its checkpoint recompute in the backward — is
+    # pure kernel calls with zero packing glue (measured r4: the aux/recb
+    # assembly passes were a double-digit share of the 1024² shade side)
+    fused = _fused_shade_eligible(cfg, bsdf, envmap)
     base_alive = None
     film_idx = None
     pad_count = None
     pending = None
-    if do_compact:
+    if do_compact or fused:
         from materialist_tpu.ops.pallas.rowops import (
             _f32_exact_join, _f32_exact_split, compact_sel,
             gather_rows_coherent)
@@ -426,6 +511,8 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         return max(min(cap, m0), 1024)
 
     records = []
+    wo_shade = None   # fused mode: the shade's wo chain (bf16 round-trip
+    #                   of the previous lobe record); None ⇒ primary wo
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
@@ -437,7 +524,7 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             # materials remain the identity row (floor(u+.5±r) == u)
             nrm_geo, pos, wo, valid0 = _primary_state(key, cfg, cam, gbuf,
                                                       s, film)
-            if do_compact:
+            if base_alive is not None:
                 base_alive = base_alive & valid0
             blob = sg(_slice_rows(bsdf.table, off, n_loc))
             rec_blob = None
@@ -552,9 +639,40 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             rec_uvf = jnp.stack([uv_b[2], uv_b[3]],
                                 axis=-1).astype(jnp.bfloat16)
 
-        records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm,
-                        rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
-                        rec_uvi, rec_uvf, extras))
+        if fused:
+            # the shade kernel's packed inputs, assembled ONCE here. The
+            # MARCH chain stays the exact f32 lobe direction (identical
+            # traversal to the generic trace — a bf16-rotated continuation
+            # ray can hit a different pixel near silhouettes); only the
+            # RECORDED wo chain is the shade's -win convention (the
+            # renormalized bf16 round trip of the previous lobe record,
+            # exactly what the generic shade derives from records[b-1]).
+            win = rec_wi.astype(jnp.float32)
+            win = win / jnp.maximum(
+                jnp.linalg.norm(win, axis=-1, keepdims=True), 1e-9)
+            gate_nee = (base_alive & ~shadowed).astype(jnp.float32)
+            gate_miss = (base_alive & ~hit.hit).astype(jnp.float32)
+            tgt = win.shape[:-1]
+            wo_rec = wo if wo_shade is None else wo_shade
+            # the shading normal rides as a SEPARATE f32 record
+            # (shadebounce.py channel-layout note: bf16-rounding the
+            # normal alone inflates the roughness gradient's L1 noise
+            # ~15× through dGGX/dρ; wo/win are bf16-derived anyway)
+            rec_nrmf = jnp.broadcast_to(nrm, tgt + (3,)).astype(jnp.float32)
+            rec_aux = jnp.concatenate(
+                [jnp.broadcast_to(wo_rec, tgt + (3,)), win,
+                 gate_nee[..., None], gate_miss[..., None]],
+                axis=-1).astype(jnp.bfloat16)
+            rec_recb = jnp.concatenate(
+                [rec_pdf_e, rec_pdf_at, rec_wi_e, rec_uvf,
+                 rec_uvi.astype(jnp.bfloat16)], axis=-1).astype(jnp.bfloat16)
+            records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrmf,
+                            None, None, None, None, None, None,
+                            rec_aux, rec_recb, extras))
+        else:
+            records.append((shadowed, hit.hit, hit.idx, rec_blob, rec_nrm,
+                            rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
+                            rec_uvi, rec_uvf, None, None, extras))
 
         if do_compact and b < cfg.max_depth - 2:
             # stable-partition the live rays (hit ∧ alive) of this bounce;
@@ -571,13 +689,23 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             else:
                 film_src = film_idx[None]
             f_hi, f_lo = _f32_exact_split(film_src)
+            # the continuation MARCH direction is always the exact f32
+            # lobe direction (identical traversal in fused and generic
+            # modes); fused mode additionally derives the shade's wo
+            # chain from the gathered rows (bf16 is elementwise, so
+            # bf16(gathered wi) == gathered rec_wi)
             pack_src = jnp.concatenate(
                 [hit.idx.astype(jnp.float32)[..., None],
                  f_hi[..., None], f_lo[..., None], wi], axis=-1)
             pack = gather_rows_coherent(pack_src.reshape(-1, 6), sel)
             idx = pack[:, 0].astype(jnp.int32)[None]          # (1, cap)
             film_idx = _f32_exact_join(pack[:, 1], pack[:, 2])  # (cap,)
-            wo = -pack[None, :, 3:6]
+            wi_g = pack[None, :, 3:6]
+            wo = -wi_g
+            if fused:
+                wg = wi_g.astype(jnp.bfloat16).astype(jnp.float32)
+                wo_shade = -(wg / jnp.maximum(
+                    jnp.linalg.norm(wg, axis=-1, keepdims=True), 1e-9))
             pad_count = count
             base_alive = (jnp.arange(cap, dtype=jnp.int32)
                           < count)[None]                       # (1, cap)
@@ -585,6 +713,12 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         else:
             idx = hit.idx
             wo = -wi
+            if fused:
+                # the shade advances wo = -win (bf16 round-trip chain)
+                # and a dead ray stays dead — the packed gates of later
+                # bounces depend on this alive chain
+                wo_shade = -win
+                base_alive = base_alive & hit.hit
     return tuple(records)
 
 
@@ -631,16 +765,18 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
     # emitters, custom BSDFs, nee=False, blob normals) shades through the
     # generic XLA formulation below.
     from materialist_tpu.ops.pallas import shadebounce as _sb
-    use_fused = (cfg.nee and cfg.use_mesh_normal
-                 and bsdf.kind == "disney"
-                 and em._is_small(envmap.shape[0], envmap.shape[1])
-                 and (jax.default_backend() == "tpu" or _sb._INTERPRET))
+    use_fused = _fused_shade_eligible(cfg, bsdf, envmap)
     m0 = s * n_loc
     film_rad = None   # (m0, 3) accumulator for compacted-bounce radiance
     for b in range(cfg.max_depth - 1):
         (shadowed, hit_ok, hit_idx, rec_blob, rec_nrm,
          rec_wi_e, rec_pdf_e, rec_pdf_at, rec_wi,
-         rec_uvi, rec_uvf, extras) = records[b]
+         rec_uvi, rec_uvf, rec_aux, rec_recb, extras) = records[b]
+        # packed fused-shade records: the trace already assembled the
+        # kernel's detached input planes (bf16), so this pass — and its
+        # checkpoint recompute in the backward — is gather + kernel call,
+        # no per-bounce packing glue
+        packed = rec_aux is not None
 
         if extras is not None:
             # wavefront compaction (trace recorded how this bounce's
@@ -655,14 +791,18 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             throughput = gather_coherent_diff(
                 throughput.reshape(-1, 3), sel)[None]          # (1, cap, 3)
             idx = vtx_idx[None]
-            # incoming direction exactly as the uncompacted shade derives
-            # it: the PREVIOUS bounce's bf16 lobe record, normalized after
-            # the round trip, pulled through the partition (detached)
-            wi_prev = gather_rows_coherent(
-                records[b - 1][8].astype(jnp.float32).reshape(-1, 3), sel)
-            wi_prev = wi_prev / jnp.maximum(
-                jnp.linalg.norm(wi_prev, axis=-1, keepdims=True), 1e-9)
-            wo = -wi_prev[None]
+            if not packed:
+                # incoming direction exactly as the uncompacted shade
+                # derives it: the PREVIOUS bounce's bf16 lobe record,
+                # normalized after the round trip, pulled through the
+                # partition (detached). (Packed records carry wo inside
+                # rec_aux — trace gathered it through the same partition.)
+                wi_prev = gather_rows_coherent(
+                    records[b - 1][8].astype(jnp.float32).reshape(-1, 3),
+                    sel)
+                wi_prev = wi_prev / jnp.maximum(
+                    jnp.linalg.norm(wi_prev, axis=-1, keepdims=True), 1e-9)
+                wo = -wi_prev[None]
             alive = (jnp.arange(cap, dtype=jnp.int32) < count)[None]
             if film_rad is None:
                 film_rad = jnp.zeros((m0, 3), jnp.float32)
@@ -691,35 +831,47 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
             # scatter-add adjoint) — ~22 B/path-vertex less record HBM,
             # the difference that fits 1024²×64spp with cached records
             blob = bsdf.gather(idx)
-            from materialist_tpu.ops.pallas.rowops import row_gather
-            nrm_geo = row_gather(nrm_table, idx, exact=False)
-        if cfg.use_mesh_normal:
+            if packed:
+                nrm_geo = None   # inside rec_aux
+            else:
+                from materialist_tpu.ops.pallas.rowops import row_gather
+                nrm_geo = row_gather(nrm_table, idx, exact=False)
+        if packed:
+            nrm = None           # inside rec_aux
+        elif cfg.use_mesh_normal:
             nrm = nrm_geo
         else:
             nm = blob[..., 5:8]
             nrm = nm / jnp.maximum(
                 jnp.linalg.norm(nm, axis=-1, keepdims=True), 1e-9)
 
-        if use_fused:
-            wi_raw = rec_wi.astype(jnp.float32)
-            win = wi_raw / jnp.maximum(
-                jnp.linalg.norm(wi_raw, axis=-1, keepdims=True), 1e-9)
-            tgt = win.shape[:-1]
-            gate_nee = (alive & ~shadowed).astype(jnp.float32)[..., None]
-            gate_miss = (alive & ~hit_ok).astype(jnp.float32)[..., None]
-            auxf = jnp.concatenate([
-                jnp.broadcast_to(nrm, tgt + (3,)),
-                jnp.broadcast_to(wo, tgt + (3,)), win,
-                jnp.broadcast_to(gate_nee, tgt + (1,)),
-                jnp.broadcast_to(gate_miss, tgt + (1,))], axis=-1)
-            recb = jnp.concatenate([
-                rec_pdf_e, rec_pdf_at, rec_wi_e, rec_uvf,
-                rec_uvi.astype(jnp.bfloat16)],
-                axis=-1).astype(jnp.bfloat16)
+        if use_fused or packed:
+            if packed:
+                nrmf = rec_nrm           # f32 normal record (slot 4)
+                auxf = rec_aux
+                recb = rec_recb
+                tgt = rec_aux.shape[:-1]
+            else:
+                wi_raw = rec_wi.astype(jnp.float32)
+                win = wi_raw / jnp.maximum(
+                    jnp.linalg.norm(wi_raw, axis=-1, keepdims=True), 1e-9)
+                tgt = win.shape[:-1]
+                gate_nee = (alive & ~shadowed).astype(
+                    jnp.float32)[..., None]
+                gate_miss = (alive & ~hit_ok).astype(jnp.float32)[..., None]
+                nrmf = jnp.broadcast_to(nrm, tgt + (3,)).astype(jnp.float32)
+                auxf = jnp.concatenate([
+                    jnp.broadcast_to(wo, tgt + (3,)), win,
+                    jnp.broadcast_to(gate_nee, tgt + (1,)),
+                    jnp.broadcast_to(gate_miss, tgt + (1,))], axis=-1)
+                recb = jnp.concatenate([
+                    rec_pdf_e, rec_pdf_at, rec_wi_e, rec_uvf,
+                    rec_uvi.astype(jnp.bfloat16)],
+                    axis=-1).astype(jnp.bfloat16)
             blob5 = jnp.broadcast_to(blob[..., :5], tgt + (5,))
             throughput, rad_delta = _sb.shade_bounce_fused(
                 envmap, blob5, jnp.broadcast_to(throughput, tgt + (3,)),
-                auxf, recb)
+                nrmf, auxf, recb)
             if extras is not None:
                 # compacted bounce: contributions return to their film
                 # slots through a coherent differentiable scatter-add
@@ -730,7 +882,8 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
                 radiance = radiance + rad_delta
             alive = alive & hit_ok
             idx = hit_idx
-            wo = -win
+            if not packed:
+                wo = -win
             continue
 
         # ---- NEE: recorded envmap sample decisions + recorded shadow

@@ -75,9 +75,11 @@ def test_indoor_golden_psnr(indoor):
     ref = _down(indoor["ref"])
     scale = ref.mean() / img.mean()
     p = psnr(np.clip(img * scale, 0, 2), np.clip(ref, 0, 2))
-    assert p > 21.0, f"indoor golden PSNR regressed: {p:.2f} dB"  # round-3 measured 21.09 (LDS)
-    # global exposure must be close (estimator energy parity)
-    assert 0.85 < scale < 1.15, scale  # round-2 measured 0.938
+    assert p > 22.5, f"indoor golden PSNR regressed: {p:.2f} dB"  # round-4 measured 23.27 (march thickness heuristic 0.05)
+    # global exposure must be close (estimator energy parity); the finite-
+    # thickness march occludes less than r3's infinite-thickness one, so
+    # the render is brighter vs the (over-occluded-fit) reference render
+    assert 0.80 < scale < 1.15, scale  # round-4 measured 0.838
 
 
 def test_indoor_matches_gt(indoor):
@@ -85,7 +87,7 @@ def test_indoor_matches_gt(indoor):
     gt = _down(indoor["gt"])
     scale = gt.mean() / img.mean()
     p = psnr(np.clip(img * scale, 0, 2), np.clip(gt, 0, 2))
-    assert p > 20.3, f"indoor-vs-gt PSNR regressed: {p:.2f} dB"  # round-3 measured 20.60 (LDS)
+    assert p > 21.8, f"indoor-vs-gt PSNR regressed: {p:.2f} dB"  # round-4 measured 22.50
 
 
 def test_jinjya_golden_psnr(reference_dir):

@@ -5,8 +5,14 @@ hardware at production block sizes.
 
 Expected deltas are bounded by the paths' only intentional divergences:
 the kernel fetches the emitter with exact f32 bilinear weights while the
-XLA path quantizes weighted one-hots to bf16 (~2⁻⁸ relative), and both
-consume the same bf16 records.
+XLA path quantizes weighted one-hots to bf16 (~2⁻⁸ relative), and the
+fused path consumes PACKED records — wo/win planes rounded to bf16 at
+trace time (r4: the packing is assembled once in the trace so the shade
+and its checkpoint recompute are pure kernel calls). The shading normal
+rides f32 (bf16-rounding it alone inflated the roughness gradient's L1
+aggregate to ~15% through dGGX/dρ — measured r4, fixed by the split
+nrmf/auxf records); the residual wo/win second-rounding leaves ~2%
+zero-mean noise on the roughness grads (signed bias <0.5%).
 """
 
 import jax
@@ -68,14 +74,29 @@ def test_fused_bounce_matches_generic(monkeypatch, jitter):
     finally:
         CFG = cfg0
 
-    np.testing.assert_allclose(img_f, img_ref, rtol=2e-2, atol=2e-3)
-    assert abs(val_f - val_ref) <= 2e-3 * max(abs(val_ref), 1e-3)
+    # atol 2e-2: bf16 wo/win planes through the GGX chain — see module
+    # docstring (the normal rides f32)
+    np.testing.assert_allclose(img_f, img_ref, rtol=2e-2, atol=2e-2)
+    assert abs(val_f - val_ref) <= 5e-3 * max(abs(val_ref), 1e-3)
+    # Per-element bounds sized to one extra bf16 rounding of the wo/win
+    # directions: roughness flows through dD/dρ, the steepest
+    # amplification of a direction perturbation, so its elementwise bound
+    # is wider; the MEAN + SIGNED-MEAN bounds below are the ones that
+    # catch a systematic gradient bug (measured r4: mean_rel 0.002/0.020/
+    # 0.003, signed bias ≤0.2% on all three).
+    elem_tol = {"albedo": 3e-2, "roughness": 0.12, "metallic": 3e-2}
     for name in ("albedo", "roughness", "metallic"):
         a = np.asarray(getattr(g_f["mats"], name))
         b = np.asarray(getattr(g_ref["mats"], name))
         scale = max(np.abs(b).max(), 1e-8)
-        np.testing.assert_allclose(a, b, atol=3e-2 * scale,
+        np.testing.assert_allclose(a, b, atol=elem_tol[name] * scale,
                                    err_msg=f"grad mismatch: {name}")
+        mean_rel = np.abs(a - b).mean() / max(np.abs(b).mean(), 1e-12)
+        assert mean_rel <= 5e-2, \
+            f"grad noise too high: {name} mean rel {mean_rel:.3f}"
+        bias = abs((a - b).mean()) / max(np.abs(b).mean(), 1e-12)
+        assert bias <= 1e-2, \
+            f"systematic grad bias: {name} signed mean rel {bias:.4f}"
     a, b = np.asarray(g_f["envmap"]), np.asarray(g_ref["envmap"])
     np.testing.assert_allclose(a, b, atol=3e-2 * max(np.abs(b).max(), 1e-8),
                                err_msg="grad mismatch: envmap")
