@@ -215,20 +215,6 @@ def main():
               f"{amort_ms:.1f}; one trace pass = {trace_ms:.1f}",
               file=sys.stderr, flush=True)
 
-    # ---- relight throughput (render_final --mode real protocol:
-    # 64spp+denoise passes at 512², render_final.py:193-197)
-    relight_fps = None
-    if not SKIP_RELIGHT:
-        from materialist_tpu.render.forward import render_averaged
-        cam5, gbuf5, mats5, env5, _ = load(512)
-        render_averaged(gbuf5, cam5, mats5, env5, n_iter=1, spp=64)  # warm
-        t2 = time.time()
-        n_frames = 10
-        render_averaged(gbuf5, cam5, mats5, env5, n_iter=n_frames, spp=64)
-        relight_fps = n_frames / (time.time() - t2)
-        print(f"[bench] relight = {relight_fps:.3f} frames/s "
-              "(512²×64spp+denoise)", file=sys.stderr, flush=True)
-
     # ---- achieved-rate + roofline diagnostics on the FRESH step. Paths =
     # full camera samples; each path has (max_depth-1)=3 scattering
     # vertices, each firing a lobe march AND an NEE shadow march.
@@ -262,12 +248,36 @@ def main():
         "amortized_ms_per_iter": round(amort_ms, 2),
         "trace_every": TRACE_EVERY,
         "trace_pass_ms": round(trace_ms, 2),
-        "relight_fps": (round(relight_fps, 3)
-                        if relight_fps is not None else None),
+        "relight_fps": None,
         "paths_per_s_M": round(paths_per_s / 1e6, 2),
         "est_hbm_roofline_frac": round(hbm_gbps / 819.0, 4),
     }
-    print(json.dumps(result))
+    # emit the record NOW (r4: a timeout in the relight tail voided the
+    # whole artifact — rc=124, no JSON line). If relight completes, the
+    # final line (the one the driver parses) carries it; if it dies or
+    # times out, this line already holds the headline numbers.
+    print(json.dumps(result), flush=True)
+
+    # ---- relight throughput (render_final --mode real protocol:
+    # 64spp+denoise passes at 512², render_final.py:193-197)
+    if not SKIP_RELIGHT:
+        try:
+            from materialist_tpu.render.forward import render_averaged
+            cam5, gbuf5, mats5, env5, _ = load(512)
+            render_averaged(gbuf5, cam5, mats5, env5, n_iter=1,
+                            spp=64)  # warm/compile
+            t2 = time.time()
+            n_frames = 10
+            render_averaged(gbuf5, cam5, mats5, env5, n_iter=n_frames,
+                            spp=64)
+            relight_fps = n_frames / (time.time() - t2)
+            print(f"[bench] relight = {relight_fps:.3f} frames/s "
+                  "(512²×64spp+denoise)", file=sys.stderr, flush=True)
+            result["relight_fps"] = round(relight_fps, 3)
+            print(json.dumps(result), flush=True)
+        except Exception as e:  # noqa: BLE001 — headline already emitted
+            print(f"[bench] relight stage failed: {e!r}", file=sys.stderr,
+                  flush=True)
     return result
 
 

@@ -128,6 +128,22 @@ class MaterialNet(nn.Module):
     features: int = 128
     out_channels: Sequence[int] = (96, 192, 384, 768)
     layer_idx: Sequence[int] = (2, 5, 8, 11)
+    # encoder size — defaults are the checkpoint-pinned vit-b
+    # (dpt.py:186-194); the reduced self-trained checkpoint
+    # (scripts/train_matnet_scratch.py) overrides these to a committable
+    # ~11M-param encoder. Stored in the npz so inference rebuilds the
+    # right architecture.
+    embed_dim: int = 768
+    enc_depth: int = 12
+    num_heads: int = 12
+
+    def encoder_config(self) -> dict:
+        return {"features": self.features,
+                "out_channels": tuple(self.out_channels),
+                "layer_idx": tuple(self.layer_idx),
+                "embed_dim": self.embed_dim,
+                "enc_depth": self.enc_depth,
+                "num_heads": self.num_heads}
 
     @nn.compact
     def __call__(self, x):
@@ -136,7 +152,9 @@ class MaterialNet(nn.Module):
         Returns dict of NHWC maps at 14·patch resolution (dpt.py:197-217).
         """
         ph, pw = x.shape[1] // 14, x.shape[2] // 14
-        levels = DINOv2(name="pretrained")(x, self.layer_idx)
+        levels = DINOv2(embed_dim=self.embed_dim, depth=self.enc_depth,
+                        num_heads=self.num_heads,
+                        name="pretrained")(x, self.layer_idx)
         patch_tokens = [t for t, _cls in levels]
         depth = DPTHead(self.features, self.out_channels, "depth",
                         name="depth_head")(patch_tokens, ph, pw)

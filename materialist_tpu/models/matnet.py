@@ -44,10 +44,22 @@ def resize_lower_bound(image: np.ndarray, target: int = 518,
 class MatNetInference:
     """Holds converted params + the jitted forward."""
 
-    def __init__(self, params=None, weights_path: str = None):
-        self.net = MaterialNet()
+    def __init__(self, params=None, weights_path: str = None, net=None):
+        self.net = net or MaterialNet()
         if params is None:
-            params = load_matnet_params(weights_path)
+            if weights_path and weights_path.endswith(".npz"):
+                # native checkpoint (models/train.py save_checkpoint) —
+                # e.g. the in-repo self-trained reduced checkpoint
+                from materialist_tpu.models.train import load_checkpoint
+                params, _, cfg = load_checkpoint(weights_path)
+                if cfg is not None and net is None:
+                    cfg = dict(cfg)
+                    for k in ("out_channels", "layer_idx"):
+                        if k in cfg:
+                            cfg[k] = tuple(cfg[k])
+                    self.net = MaterialNet(**cfg)
+            else:
+                params = load_matnet_params(weights_path)
         # device arrays, not numpy leaves: numpy constants embedded in the
         # jitted forward reject traced indices (pos-embed interpolation)
         self.params = jax.tree.map(jnp.asarray, params)

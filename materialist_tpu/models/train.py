@@ -149,10 +149,51 @@ def train(data_root: str, params=None, epochs: int = 1, batch_size: int = 2,
     return (params, history) if return_history else params
 
 
-def save_checkpoint(path: str, params, step: int):
-    """Flat-npz checkpoint (orbax is heavier than needed for one tree)."""
+def save_checkpoint(path: str, params, step: int, config: dict = None,
+                    half: bool = False):
+    """Flat-npz checkpoint (orbax is heavier than needed for one tree).
+
+    ``config``: the MaterialNet constructor kwargs (encoder_config()) so
+    inference can rebuild a non-default architecture. ``half`` stores
+    f16 leaves (the committable reduced checkpoint)."""
+    import json as _json
     import numpy as np
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    arrs = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    arrs = {}
+    for k, v in flat:
+        a = np.asarray(v)
+        if half and a.dtype == np.float32:
+            a = a.astype(np.float16)
+        arrs[jax.tree_util.keystr(k)] = a
     arrs["__step__"] = np.asarray(step)
-    np.savez(path, **arrs)
+    if config is not None:
+        arrs["__config__"] = np.frombuffer(
+            _json.dumps(config).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrs)
+
+
+def load_checkpoint(path: str):
+    """Rebuild the nested params dict from a save_checkpoint npz.
+    Returns (params, step, config-or-None)."""
+    import json as _json
+    import re
+    import numpy as np
+    data = np.load(path)
+    params = {}
+    step = 0
+    config = None
+    for k in data.files:
+        if k == "__step__":
+            step = int(data[k])
+            continue
+        if k == "__config__":
+            config = _json.loads(bytes(data[k]).decode())
+            continue
+        keys = re.findall(r"\['([^']+)'\]", k)
+        node = params
+        for part in keys[:-1]:
+            node = node.setdefault(part, {})
+        a = data[k]
+        node[keys[-1]] = (a.astype(np.float32)
+                          if a.dtype == np.float16 else a)
+    return params, step, config

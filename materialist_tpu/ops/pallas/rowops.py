@@ -36,6 +36,7 @@ Off-TPU both functions fall back to plain indexed ops
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -204,6 +205,24 @@ def _row_scatter_tpu(cot_flat, idx_flat, n_rows: int, k: int,
     return outt.T[:n_rows]
 
 
+_ADJOINT_EXACT = os.environ.get("MATERIALIST_EXACT_ADJOINT") == "1"
+
+
+def set_adjoint_exact(on: bool) -> None:
+    """Select the f32-payload sort variant for the differentiable-gather
+    adjoints (row_gather_diff, render/bsdf.py _reuse_gather) instead of
+    the default bf16-packed one (ADVICE r4: keep the exact path available
+    as a quality fallback). Must be called before the programs are traced
+    — the flag is read at trace time, so flipping it later only affects
+    new compilations."""
+    global _ADJOINT_EXACT
+    _ADJOINT_EXACT = bool(on)
+
+
+def adjoint_exact() -> bool:
+    return _ADJOINT_EXACT
+
+
 def row_scatter_add(cot, idx, n_rows: int, exact: bool = True,
                     coherent: bool = False):
     """Adjoint of row_gather: Σ over queries of cot rows at idx.
@@ -280,12 +299,14 @@ def row_gather_diff(table, idx):
 
 def _row_gather_diff_fwd(table, idx):
     proto = jnp.zeros((0,), table.dtype)   # dtype token (a valid JAX type)
-    return row_gather(table, idx, exact=False), (idx, table.shape[0], proto)
+    return (row_gather(table, idx, exact=adjoint_exact()),
+            (idx, table.shape[0], proto))
 
 
 def _row_gather_diff_bwd(res, cot):
     idx, n_rows, proto = res
-    g = row_scatter_add(cot, idx, n_rows, exact=False).astype(proto.dtype)
+    g = row_scatter_add(cot, idx, n_rows,
+                        exact=adjoint_exact()).astype(proto.dtype)
     return (g, None)
 
 

@@ -152,6 +152,22 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         cfg = cfg._replace(compact_caps=caps)
         print(f"[optimize] wavefront compaction caps: {caps}", flush=True)
 
+    def cap_note(records):
+        """Live-count vs compaction-cap readout (ADVICE r4: a saturated
+        cap silently drops live rays). Fetched only at print cadence."""
+        if not cfg.compact_caps or records is None:
+            return ""
+        from materialist_tpu.render.shader import compact_cap_utilization
+        parts = []
+        for b, f in compact_cap_utilization(records[0]):
+            fv = float(f)
+            parts.append(f"b{b}={fv:.2f}")
+            if fv >= 0.999:
+                print(f"[optimize] WARNING: compaction cap saturated at "
+                      f"bounce {b} (util {fv:.3f}) — live rays are being "
+                      "dropped; re-probe compact_caps", flush=True)
+        return " cap_util[" + ",".join(parts) + "]"
+
     gt_image = jnp.asarray(mat["gt_image"])
     gt_srgb = linear_to_srgb(gt_image)
 
@@ -402,7 +418,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             early(mse_val)
             if epoch % 50 == 0 or early.early_stop:
                 print(f"[env {loop_num}] epoch {epoch} loss {float(loss):.4f}"
-                      f" mse {mse_val:.4f}", flush=True)
+                      f" mse {mse_val:.4f}" + cap_note(records), flush=True)
             if opts.frame_every and (epoch % opts.frame_every == 0
                                      or early.early_stop):
                 pred_np = np.asarray(linear_to_srgb(img))
@@ -503,8 +519,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     early(mse_val)
                     if epoch % 50 == 0 or early.early_stop:
                         print(f"[mat-direct {loop_num}/{part}] epoch {epoch} "
-                              f"loss {float(loss):.4f} mse {mse_val:.4f}",
-                              flush=True)
+                              f"loss {float(loss):.4f} mse {mse_val:.4f}"
+                              + cap_note(records), flush=True)
                     if opts.frame_every and (epoch % opts.frame_every == 0
                                              or early.early_stop):
                         save_mat_frame(mats_cur, np.asarray(pred), loop_num,
@@ -544,8 +560,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     early(mse_val)
                     if epoch % 50 == 0 or early.early_stop:
                         print(f"[mat-mlp {loop_num}/{part}] epoch {epoch} "
-                              f"loss {float(loss):.4f} mse {mse_val:.4f}",
-                              flush=True)
+                              f"loss {float(loss):.4f} mse {mse_val:.4f}"
+                              + cap_note(records), flush=True)
                     if opts.frame_every and (epoch % opts.frame_every == 0
                                              or early.early_stop):
                         save_mat_frame(mats_cur, np.asarray(pred), loop_num,

@@ -29,8 +29,12 @@ from typing import NamedTuple
 # bytes per path-vertex of trace records (render/shader.py
 # trace_step_records: shadowed/hit flags, hit idx, NEE dir+pdfs, lobe dir
 # — plus the bf16 material blob + normal rows in replay mode)
-REPLAY_REC_BYTES = 84.0   # +6 B r4: the packed shade normal rides f32
-LIGHT_REC_BYTES = 54.0    # (shadebounce.py channel-layout note)
+# r5 record slimming (shader.py _trace_chunk_paths): fused replay blob
+# carries only the 5 consumed channels (−6 B), the shade normal rides
+# f16 instead of f32 (−6 B) and the wo plane is derived from the
+# previous bounce's win record instead of stored (−6 B)
+REPLAY_REC_BYTES = 66.0   # r4: 84
+LIGHT_REC_BYTES = 42.0    # r4: 54 (normal + wo slimming applies too)
 # bytes per path-vertex of the shade pass's vjp working set (f32 lobe /
 # NEE evaluation state + cotangents, checkpoint-recomputed per group)
 SHADE_VJP_BYTES = 192.0   # r4: fused-kernel ins/outs + cots
@@ -91,11 +95,15 @@ def plan_step(res: int, spp: int, hbm_bytes: int = HBM_BYTES_V5E,
     # set (more groups) to keep them resident; per-group dispatches are
     # one lax.scan iteration each (opt/accum.py scan variant), not host
     # round-trips, so extra groups cost almost nothing.
-    for g in (groups, 2 * groups, 4 * groups):
-        if g > spp:
-            break
-        if fits(REPLAY_REC_BYTES, cached=True, g=g):
-            return StepPlan(g, min(chunk, max(spp // g, 1)), True, True)
-        if fits(LIGHT_REC_BYTES, cached=True, g=g):
-            return StepPlan(g, min(chunk, max(spp // g, 1)), False, True)
+    # replay is strictly faster per step (no shade-side re-gather), so try
+    # EVERY viable group count for replay before falling back to light
+    # records (r4 regression: light-at-g8 shadowed replay-at-g16)
+    for rec_bytes, replay in ((REPLAY_REC_BYTES, True),
+                              (LIGHT_REC_BYTES, False)):
+        for g in (groups, 2 * groups, 4 * groups):
+            if g > spp:
+                break
+            if fits(rec_bytes, cached=True, g=g):
+                return StepPlan(g, min(chunk, max(spp // g, 1)),
+                                replay, True)
     return StepPlan(groups, chunk, False, False)

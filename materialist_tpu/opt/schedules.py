@@ -14,12 +14,27 @@ import optax
 
 def step_lr(base_lr: float, step_size: int = 100, gamma: float = 0.8,
             floor: float = 0.0):
-    """StepLR staircase with an optional lr floor."""
+    """StepLR staircase with the reference's *gated* floor semantics.
+
+    The reference steps the scheduler only while the current lr is above
+    the gate (`if current_lr > 1.5e-4: scheduler.step()`), so the
+    staircase FREEZES at the first value at-or-below the gate — e.g.
+    3e-4·0.8⁴ = 1.2288e-4, NOT the gate value itself. A max(lr, floor)
+    clamp (the r≤4 behavior) rests 22% hotter (1.5e-4) forever; the r4
+    full-budget divergence made every tail-lr discrepancy suspect, so
+    this now reproduces the torch trajectory exactly."""
+    if floor > 0:
+        k_freeze = 0
+        while base_lr * gamma ** k_freeze > floor:
+            k_freeze += 1
+    else:
+        k_freeze = None
+
     def sched(count):
-        lr = base_lr * gamma ** (count // step_size)
-        if floor > 0:
-            lr = jnp.maximum(lr, floor)
-        return lr
+        k = count // step_size
+        if k_freeze is not None:
+            k = jnp.minimum(k, k_freeze)
+        return base_lr * gamma ** k
     return sched
 
 

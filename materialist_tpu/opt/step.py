@@ -70,7 +70,14 @@ def make_phase_step(cfg_full: RenderConfig, cam, gbuf, maps_of: Callable,
     if plan is None:
         caps = cfg_full.compact_caps
         bounces = max(cfg_full.max_depth - 1, 1)
-        vert_frac = (1.0 + sum(caps)) / bounces if caps else 1.0
+        # bounce 0 is uncompacted (frac 1); bounces beyond len(caps) reuse
+        # the last cap (shader _caps_abs semantics) — count them too, or
+        # the HBM plan goes optimistic for max_depth > len(caps)+2
+        if caps:
+            vert_frac = (1.0 + sum(caps[min(i, len(caps) - 1)]
+                                   for i in range(bounces - 1))) / bounces
+        else:
+            vert_frac = 1.0
         plan = plan_step(max(h, w), cfg_full.spp, max_chunk=cfg_full.chunk,
                          bounces=bounces, vert_frac=vert_frac)
     n_groups = max(min(plan.groups, cfg_full.spp), 1)

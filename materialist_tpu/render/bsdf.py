@@ -71,11 +71,20 @@ def _reuse_gather_fwd(table, idx, primal):
 
 def _reuse_gather_bwd(res, cot):
     idx, table = res
-    from materialist_tpu.ops.pallas.rowops import row_scatter_add
-    # fast mode: contributions round to bf16 before the f32 accumulation —
-    # far below the MC gradient noise at any practical spp
+    from materialist_tpu.ops.pallas.rowops import (adjoint_exact,
+                                                   row_scatter_add)
+    # slimmed replay records (fused shade) carry only the channels the
+    # kernel consumes (5 of the table's 8): zero-pad the cotangent back
+    # to the table width before the scatter
+    if cot.shape[-1] < table.shape[-1]:
+        pad = [(0, 0)] * (cot.ndim - 1) + [(0, table.shape[-1]
+                                            - cot.shape[-1])]
+        cot = jnp.pad(cot, pad)
+    # default fast mode: contributions round to bf16 before the f32
+    # accumulation — far below the MC gradient noise at any practical spp;
+    # rowops.set_adjoint_exact(True) selects the f32-payload sort variant
     g = row_scatter_add(cot, idx, table.shape[0],
-                        exact=False).astype(table.dtype)
+                        exact=adjoint_exact()).astype(table.dtype)
     return (g, None, None)
 
 

@@ -495,7 +495,6 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
     fused = _fused_shade_eligible(cfg, bsdf, envmap)
     base_alive = None
     film_idx = None
-    pad_count = None
     pending = None
     if do_compact or fused:
         from materialist_tpu.ops.pallas.rowops import (
@@ -511,8 +510,6 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         return max(min(cap, m0), 1024)
 
     records = []
-    wo_shade = None   # fused mode: the shade's wo chain (bf16 round-trip
-    #                   of the previous lobe record); None ⇒ primary wo
     for b in range(cfg.max_depth - 1):
         kb = jax.random.fold_in(key, b)
         k_lobe, k_uv, k_nee = jax.random.split(kb, 3)
@@ -554,7 +551,11 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
                 cam, idx, fetched[..., k_blob] + fetched[..., k_blob + 1])
             nrm_geo = fetched[..., k_blob + 2:k_blob + 5]
             if cfg.replay_blob:
-                rec_blob = blob.astype(jnp.bfloat16)
+                # fused shade consumes blob[..., :5] only (albedo/rough/
+                # metal — the normal rides the separate f16 record), so
+                # replay records carry 5 channels there: −6 B/path-vertex
+                rec_blob = (blob[..., :5] if fused
+                            else blob).astype(jnp.bfloat16)
                 rec_nrm = (nrm_geo.astype(jnp.bfloat16)
                            if cfg.use_mesh_normal else None)
             else:
@@ -643,25 +644,24 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             # the shade kernel's packed inputs, assembled ONCE here. The
             # MARCH chain stays the exact f32 lobe direction (identical
             # traversal to the generic trace — a bf16-rotated continuation
-            # ray can hit a different pixel near silhouettes); only the
-            # RECORDED wo chain is the shade's -win convention (the
-            # renormalized bf16 round trip of the previous lobe record,
-            # exactly what the generic shade derives from records[b-1]).
+            # ray can hit a different pixel near silhouettes).
             win = rec_wi.astype(jnp.float32)
             win = win / jnp.maximum(
                 jnp.linalg.norm(win, axis=-1, keepdims=True), 1e-9)
             gate_nee = (base_alive & ~shadowed).astype(jnp.float32)
             gate_miss = (base_alive & ~hit.hit).astype(jnp.float32)
             tgt = win.shape[:-1]
-            wo_rec = wo if wo_shade is None else wo_shade
-            # the shading normal rides as a SEPARATE f32 record
-            # (shadebounce.py channel-layout note: bf16-rounding the
-            # normal alone inflates the roughness gradient's L1 noise
-            # ~15× through dGGX/dρ; wo/win are bf16-derived anyway)
-            rec_nrmf = jnp.broadcast_to(nrm, tgt + (3,)).astype(jnp.float32)
+            # r5 record slimming (the bytes that fit replay records at
+            # 1024²×64spp, opt/plan.py): the shading normal rides f16 —
+            # 11 mantissa bits, an ~8× tighter rounding than bf16 (whose
+            # lone-normal rounding inflated the roughness grad L1 ~15×
+            # through dGGX/dρ, measured r4) at half the f32 bytes — and
+            # the wo plane is NOT recorded: the shade derives it from the
+            # previous bounce's win record (b=0: the primary state it
+            # already recomputes), −6 B/path-vertex each.
+            rec_nrmf = jnp.broadcast_to(nrm, tgt + (3,)).astype(jnp.float16)
             rec_aux = jnp.concatenate(
-                [jnp.broadcast_to(wo_rec, tgt + (3,)), win,
-                 gate_nee[..., None], gate_miss[..., None]],
+                [win, gate_nee[..., None], gate_miss[..., None]],
                 axis=-1).astype(jnp.bfloat16)
             rec_recb = jnp.concatenate(
                 [rec_pdf_e, rec_pdf_at, rec_wi_e, rec_uvf,
@@ -702,11 +702,6 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             film_idx = _f32_exact_join(pack[:, 1], pack[:, 2])  # (cap,)
             wi_g = pack[None, :, 3:6]
             wo = -wi_g
-            if fused:
-                wg = wi_g.astype(jnp.bfloat16).astype(jnp.float32)
-                wo_shade = -(wg / jnp.maximum(
-                    jnp.linalg.norm(wg, axis=-1, keepdims=True), 1e-9))
-            pad_count = count
             base_alive = (jnp.arange(cap, dtype=jnp.int32)
                           < count)[None]                       # (1, cap)
             pending = (sel, count, idx[0], film_idx)
@@ -714,10 +709,8 @@ def _trace_chunk_paths(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
             idx = hit.idx
             wo = -wi
             if fused:
-                # the shade advances wo = -win (bf16 round-trip chain)
-                # and a dead ray stays dead — the packed gates of later
+                # a dead ray stays dead — the packed gates of later
                 # bounces depend on this alive chain
-                wo_shade = -win
                 base_alive = base_alive & hit.hit
     return tuple(records)
 
@@ -847,10 +840,33 @@ def _shade_chunk(key, records, cfg: RenderConfig, cam: Camera,
 
         if use_fused or packed:
             if packed:
-                nrmf = rec_nrm           # f32 normal record (slot 4)
-                auxf = rec_aux
-                recb = rec_recb
+                nrmf = rec_nrm           # f16 normal record (slot 4);
+                #                          _to_planes casts to f32 in VMEM
                 tgt = rec_aux.shape[:-1]
+                # wo is not recorded (r5 record slimming): derive the
+                # shade's -win chain from the PREVIOUS bounce's win record
+                # — for compacted bounces pulled through the same stable
+                # partition the trace used; for b=0 the primary wo (the
+                # film-jitter branch above already recomputed it when AA
+                # is on). One extra bf16 round-trip + renormalize vs the
+                # r4 recorded plane — the same order as the bf16 storage
+                # rounding itself (test_shadebounce tolerances).
+                if extras is not None:
+                    wprev = gather_rows_coherent(
+                        records[b - 1][11][..., 0:3].astype(
+                            jnp.float32).reshape(-1, 3), sel)[None]
+                elif b > 0:
+                    wprev = records[b - 1][11][..., 0:3].astype(jnp.float32)
+                else:
+                    wprev = None
+                if wprev is None:
+                    wo_d = jnp.broadcast_to(wo, tgt + (3,))
+                else:
+                    wo_d = -(wprev / jnp.maximum(jnp.linalg.norm(
+                        wprev, axis=-1, keepdims=True), 1e-9))
+                auxf = jnp.concatenate(
+                    [wo_d.astype(jnp.bfloat16), rec_aux], axis=-1)
+                recb = rec_recb
             else:
                 wi_raw = rec_wi.astype(jnp.float32)
                 win = wi_raw / jnp.maximum(
@@ -981,6 +997,30 @@ def trace_step_records(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,
         out.append(recs)
         anchor = recs[0][0]    # pin chunk i+1 behind chunk i's records
     return tuple(out)
+
+
+def compact_cap_utilization(records):
+    """Max live-count / cap per compacted bounce, extracted from trace
+    records (ADVICE r4: compact_sel computes the true alive count but it
+    was never surfaced — a saturated cap silently drops live rays, a
+    systematic dimming bias). Returns a list of (bounce, frac) jnp
+    scalars; callers fetch/log them at whatever cadence they print.
+
+    Works on a single trace_step_records result or on the group-stacked
+    pytree opt/step.py's trace_all produces (leading scan axes reduce
+    with max)."""
+    out = []
+    chunks = records if isinstance(records, tuple) else (records,)
+    for recs_chunk in chunks:
+        for b, rec in enumerate(recs_chunk):
+            extras = rec[-1]
+            if extras is None:
+                continue
+            sel, count = extras[0], extras[1]
+            cap = sel.shape[-1]
+            frac = jnp.max(count).astype(jnp.float32) / float(cap)
+            out.append((b, frac))
+    return out
 
 
 def probe_compact_caps(key, cfg: RenderConfig, cam: Camera, gbuf: GBuffer,

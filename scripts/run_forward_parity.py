@@ -1,0 +1,142 @@
+"""Forward-parity evidence run (r4 VERDICT item 5): measure 512²×64spp
+PSNR vs the reference's own `rendered_img.exr` for BOTH shipped fixtures,
+plus the march_interval_frac sensitivity ladder (0.02 / 0.05 / 0.10 /
+off) on each — so the 0.05 thickness default is a justified design
+point, not a single-fixture fit — and a thick-occluder synthetic where
+the infinitely-thick heightfield is the TRUE geometry (a floor-standing
+column): there the heuristic may only cost a bounded amount vs the exact
+(thickness-off) render.
+
+Writes runs/forward_parity_r5.json and prints a human-readable table.
+
+    python scripts/run_forward_parity.py [--res 512] [--spp 64]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def down(img, res):
+    f = img.shape[0] // res
+    h, w = res * f, res * f
+    if img.ndim == 2:
+        img = img[..., None]
+    return img[:h, :w].reshape(res, f, res, f, -1).mean(axis=(1, 3))
+
+
+def psnr_vs(img, ref):
+    scale = ref.mean() / max(img.mean(), 1e-9)
+    a = np.clip(img * scale, 0, 2)
+    r = np.clip(ref, 0, 2)
+    mse = ((a - r) ** 2).mean()
+    return float(-10 * np.log10(mse + 1e-12))
+
+
+THK = (0.02, 0.05, 0.10, 2.0)   # 2.0 ≈ heuristic off (never fires)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--spp", type=int, default=64)
+    args = ap.parse_args()
+
+    from materialist_tpu.camera import Camera
+    from materialist_tpu.io import exr, image as image_io
+    from materialist_tpu.render.scene import (Materials, load_best_results,
+                                              make_gbuffer)
+    from materialist_tpu.render.shader import RenderConfig, render
+
+    res = args.res
+    cam = Camera(res, res)
+    cfg0 = RenderConfig(spp=args.spp, chunk=min(args.spp, 8),
+                        march_steps=24, shadow_steps=16, film_jitter=0.5)
+    result = {"res": res, "spp": args.spp, "scenes": {}}
+
+    for scene in ("indoor", "jinjya"):
+        base = f"/root/reference/output_imgs/{scene}"
+        mat = load_best_results(f"{base}/best_results",
+                                roughness_remap=False)
+        ref = down(exr.read(f"{base}/best_results/rendered_img.exr"), res)
+        depth = down(exr.read(f"{base}/depthPred.exr"), res)[..., 0]
+        mask = None
+        if os.path.exists(f"{base}/mesh_mask.png"):
+            m = image_io.read(f"{base}/mesh_mask.png")
+            m = down(np.asarray(m, np.float32), res)[..., 0]
+            mask = jnp.asarray(m > 0.5)
+        gbuf = make_gbuffer(jnp.asarray(depth), cam, flip_depth=True,
+                            mask=mask)
+        mats = Materials(jnp.asarray(down(mat["albedo"], res)),
+                         jnp.asarray(down(mat["roughness"], res)),
+                         jnp.asarray(down(mat["metallic"], res)),
+                         jnp.asarray(down(mat["normal"], res)))
+        env = jnp.asarray(mat["envmap"])
+        rows = {}
+        for thk in THK:
+            cfg = cfg0._replace(march_interval_frac=thk)
+            t0 = time.time()
+            img = np.asarray(render(jax.random.PRNGKey(0), cfg, cam, gbuf,
+                                    mats, env))
+            db = psnr_vs(img, ref)
+            rows[str(thk)] = round(db, 2)
+            print(f"[parity {scene}] interval_frac={thk:<5} "
+                  f"PSNR vs rendered_img.exr = {db:6.2f} dB "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        result["scenes"][scene] = rows
+
+    # thick-occluder synthetic: floor plane + floor-standing column whose
+    # heightfield IS the true (thick) geometry. Truth = the thickness-off
+    # render (exact for this scene); the ladder rows measure how much the
+    # pass-through heuristic under-occludes genuinely thick silhouettes.
+    yy, xx = jnp.meshgrid(jnp.linspace(-1, 1, res),
+                          jnp.linspace(-1, 1, res), indexing="ij")
+    depth = 3.0 - 0.8 * jnp.clip(yy, 0, 1)          # tilted floor band
+    col = ((jnp.abs(xx + 0.15) < 0.18) & (yy < 0.35)).astype(jnp.float32)
+    depth = jnp.where(col > 0, 2.1, depth)           # deep column: Δz≈0.9
+    gbuf = make_gbuffer(depth, cam, flip_depth=False)
+    mats = Materials(jnp.full((res, res, 3), 0.6),
+                     jnp.full((res, res, 1), 0.6),
+                     jnp.full((res, res, 1), 0.0),
+                     gbuf.normal_geo)
+    env = jnp.zeros((16, 32, 3), jnp.float32)
+    env = env.at[4, 9].set(jnp.asarray([40.0, 38.0, 35.0]))  # hard side sun
+    env = env + 0.05
+    truth = np.asarray(render(jax.random.PRNGKey(3),
+                              cfg0._replace(march_interval_frac=2.0),
+                              cam, gbuf, mats, env))
+    rows = {}
+    for thk in THK[:-1]:
+        img = np.asarray(render(jax.random.PRNGKey(3),
+                                cfg0._replace(march_interval_frac=thk),
+                                cam, gbuf, mats, env))
+        db = psnr_vs(img, truth)
+        rows[str(thk)] = round(db, 2)
+        print(f"[parity thick-synthetic] interval_frac={thk:<5} PSNR vs "
+              f"exact(thick) render = {db:6.2f} dB", flush=True)
+    result["scenes"]["thick_synthetic_vs_exact"] = rows
+
+    out = os.path.join(_REPO, "runs", "forward_parity_r5.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[parity] wrote {out}")
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

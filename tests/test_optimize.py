@@ -125,44 +125,6 @@ def test_trace_reuse_matches_per_epoch_trace(synthetic, tmp_path):
     assert err_reuse8 < err_fresh * 1.35 + 0.01, (err_fresh, err_reuse8)
 
 
-def test_trace_reuse_equal_wall_clock(synthetic, tmp_path):
-    """The criterion that actually justifies the K=8 default (r3 ADVICE +
-    r4 VERDICT item 7): at EQUAL WALL-CLOCK — not equal epochs — K=8 must
-    recover at least as well as K=1. The budget translation uses the
-    measured production step-cost ratio at the north star (BENCH_r03:
-    fresh 11.6 s vs amortized 8.1 s ⇒ K=8 fits ≥1.4× the epochs of K=1
-    in the same window; the ratio only grows as the shade side gets
-    faster). Two seeds (r3 ADVICE: one 32² seed is thin evidence)."""
-    cam, gbuf, true_mats, env, gt = synthetic
-    ratio = 1.4
-
-    def run(seed, k_trace, n_epochs, out):
-        key = jax.random.PRNGKey(seed)
-        bad_albedo = jnp.clip(
-            true_mats.albedo + 0.25 * jax.random.normal(key, (32, 32, 3)),
-            0, 1)
-        mat = {"albedo": bad_albedo, "roughness": true_mats.roughness,
-               "metallic": true_mats.metallic, "normal": true_mats.normal,
-               "gt_image": gt, "gt_envmap": env}
-        opts = InverseOptions(opt_src="a", opt_order=("a",),
-                              model_name="none", spp=8, chunk=8,
-                              num_epochs=n_epochs, frame_every=0,
-                              max_loops=3, march_steps=8, shadow_steps=8,
-                              march_impl="exact", march_vectorized=True,
-                              trace_every=k_trace, seed=seed)
-        best = optimize(gbuf, cam, mat, str(tmp_path / out), opts)
-        return float(jnp.abs(jnp.asarray(best["albedo"])
-                             - true_mats.albedo).mean())
-
-    base_epochs = 20
-    for seed in (5, 11):
-        err_k1 = run(seed, 1, base_epochs, f"wc_k1_{seed}")
-        err_k8 = run(seed, 8, int(base_epochs * ratio), f"wc_k8_{seed}")
-        # equal-time: the amortized run's extra epochs must at least
-        # cancel its staleness penalty (5% slack for MC noise)
-        assert err_k8 <= err_k1 * 1.05 + 0.005, (seed, err_k1, err_k8)
-
-
 def test_early_stopping_semantics():
     es = EarlyStopping(patience=2, min_delta=0.1)
     assert not es(1.0)
