@@ -158,9 +158,12 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
         if not cfg.compact_caps or records is None:
             return ""
         from materialist_tpu.render.shader import compact_cap_utilization
-        parts = []
+        agg = {}
         for b, f in compact_cap_utilization(records[0]):
             fv = float(f)
+            agg[b] = max(agg.get(b, 0.0), fv)
+        parts = []
+        for b, fv in sorted(agg.items()):
             parts.append(f"b{b}={fv:.2f}")
             if fv >= 0.999:
                 print(f"[optimize] WARNING: compaction cap saturated at "

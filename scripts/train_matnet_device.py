@@ -1,0 +1,209 @@
+"""Train the reduced MaterialNet checkpoint ENTIRELY ON-DEVICE (r4
+VERDICT item 4: weights or it didn't happen).
+
+The container's device<->host link is ~75 kB/s, so the disk-based
+MGDataset path (scripts/train_matnet_scratch.py) cannot feed a TPU — a
+single 238x322 batch would take ~a minute to upload. Instead this script
+renders the training tuples with the framework's own renderer
+(make_mg_dataset.make_scene — the SAME scene family the committed
+disk generator uses) directly into device arrays, then samples batches
+on-device; only step-loss scalars and the final f16 checkpoint cross the
+link.
+
+Architecture: models/dpt.py MaterialNet with the reduced encoder
+(embed 384, depth 6, heads 6; DPT features 64). The npz stores the
+constructor config, so `cli/inverse.py --weights <ckpt>` rebuilds it
+(models/matnet.py). Reference protocol anchor: Material_net/train.py
+(DINOv2+DPT, silog depth + cosine normal + L1 maps losses — reused
+verbatim from models/train.py::matnet_losses).
+
+    python scripts/train_matnet_device.py OUT_DIR [--tuples 256]
+        [--steps 3000] [--batch 4] [--time-budget 3600]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
+import jax.numpy as jnp
+import numpy as np
+
+IM_HW = (238, 322)   # nearest multiple-of-14 of the reference's 240x320
+
+REDUCED = dict(features=64, out_channels=(48, 96, 192, 384),
+               layer_idx=(1, 2, 4, 5), embed_dim=384, enc_depth=6,
+               num_heads=6)
+
+
+def render_dataset(n_tuples: int, spp: int, seed: int):
+    """Render n tuples on-device; returns a dict of stacked device arrays
+    (im float32 plus the five supervision maps, MGDataset key layout)."""
+    from make_mg_dataset import make_scene
+    from materialist_tpu.camera import Camera
+    from materialist_tpu.render.scene import Materials, make_gbuffer
+    from materialist_tpu.render.shader import RenderConfig, render
+
+    h, w = IM_HW
+    cam = Camera(h, w)
+    cfg = RenderConfig(spp=spp, chunk=min(8, spp))
+    key = jax.random.PRNGKey(seed)
+    outs = {k: [] for k in ("im", "albedo", "roughness", "metallic",
+                            "normal", "depth")}
+    t0 = time.time()
+    for i in range(n_tuples):
+        key, k1, k2 = jax.random.split(key, 3)
+        depth, albedo, rough, metal, env = make_scene(k1, h, w)
+        gbuf = make_gbuffer(depth, cam, flip_depth=False)
+        mats = Materials(albedo, rough, metal, gbuf.normal_geo)
+        img = render(k2, cfg, cam, gbuf, mats, env)
+        outs["im"].append(img)
+        outs["albedo"].append(albedo)
+        outs["roughness"].append(rough)
+        outs["metallic"].append(metal)
+        outs["normal"].append(gbuf.normal_geo)
+        # depth in mm like the reference data (models/dataset.py)
+        outs["depth"].append(depth[..., None] * 1000.0)
+        if (i + 1) % 32 == 0:
+            jax.block_until_ready(outs["im"][-1])
+            print(f"[device-train] rendered {i + 1}/{n_tuples} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    data = {k: jnp.stack(v) for k, v in outs.items()}
+    jax.block_until_ready(data["im"])
+    print(f"[device-train] dataset on device: "
+          f"{sum(a.nbytes for a in data.values()) / 1e6:.0f} MB in "
+          f"{time.time() - t0:.0f}s", flush=True)
+    return data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--tuples", type=int, default=256)
+    ap.add_argument("--eval-tuples", type=int, default=8)
+    ap.add_argument("--spp", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--time-budget", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    from materialist_tpu.models.dpt import MaterialNet
+    from materialist_tpu.models.train import (matnet_losses,
+                                              save_checkpoint)
+    import optax
+
+    data = render_dataset(args.tuples, args.spp, args.seed)
+    n = args.tuples
+
+    net = MaterialNet(**REDUCED)
+    params = net.init(jax.random.PRNGKey(args.seed),
+                      jnp.zeros((1,) + IM_HW + (3,)))["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"[device-train] reduced MaterialNet: {n_params / 1e6:.1f}M "
+          "params", flush=True)
+
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=100, decay_steps=max(args.steps, 101),
+        end_value=args.lr * 0.1)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adamw(sched, weight_decay=0.01))
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        k_idx, k_flip = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (args.batch,), 0, n)
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        # random horizontal flip on device (MGDataset random_flip; the
+        # normal's x component changes sign under the mirror)
+        flip = jax.random.bernoulli(k_flip, 0.5, (args.batch,))
+        f = flip[:, None, None, None]
+
+        def fl(a):
+            return jnp.where(f, a[:, :, ::-1], a)
+        batch = {k: fl(v) for k, v in batch.items()}
+        batch["normal"] = batch["normal"] * jnp.where(
+            f, jnp.asarray([-1.0, 1.0, 1.0]), jnp.ones(3))
+
+        def loss_fn(p):
+            pred = net.apply({"params": p}, batch["im"])
+            losses = matnet_losses(pred, batch)
+            return losses["total"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    deadline = time.time() + args.time_budget if args.time_budget else None
+    hist = []
+    t0 = time.time()
+    key = jax.random.PRNGKey(args.seed + 1)
+    for it in range(args.steps):
+        key, k = jax.random.split(key)
+        params, opt_state, losses = step(params, opt_state, k)
+        if it % 50 == 0 or it == args.steps - 1:
+            vals = {kk: float(v) for kk, v in losses.items()}
+            hist.append({"it": it, **vals})
+            print(f"[device-train] it {it} " + " ".join(
+                f"{kk}={v:.4f}" for kk, v in vals.items()), flush=True)
+        if deadline and time.time() > deadline:
+            print(f"[device-train] time budget hit at it {it}", flush=True)
+            break
+
+    train_min = (time.time() - t0) / 60
+    print(f"[device-train] trained {it + 1} steps in {train_min:.1f} min",
+          flush=True)
+
+    ckpt = os.path.join(args.out, "matnet_scratch.npz")
+    save_checkpoint(ckpt, params, it + 1, config=net.encoder_config(),
+                    half=True)
+    sz = os.path.getsize(ckpt) / 1e6
+    print(f"[device-train] checkpoint {ckpt} ({sz:.1f} MB)", flush=True)
+
+    # held-out eval on fresh scenes (seed offset), maps PSNR on device
+    eval_data = render_dataset(args.eval_tuples, args.spp,
+                               args.seed + 7777)
+    fwd = jax.jit(lambda p, x: net.apply({"params": p}, x))
+    psnrs = {k: [] for k in ("albedo", "roughness", "metallic", "normal",
+                             "depth")}
+    for i in range(args.eval_tuples):
+        pred = fwd(params, eval_data["im"][i:i + 1])
+        for k in psnrs:
+            p = pred[k][0]
+            g = eval_data[k][i]
+            if k == "depth":
+                p = p * (jnp.median(g) / jnp.maximum(jnp.median(p), 1e-6))
+            rng = jnp.maximum(jnp.max(g) - jnp.min(g), 1e-6)
+            mse = jnp.mean((p - g) ** 2)
+            psnrs[k].append(float(10 * jnp.log10(
+                rng * rng / jnp.maximum(mse, 1e-12))))
+    summary = {k: round(float(np.mean(v)), 2) for k, v in psnrs.items()}
+    print(f"[device-train] held-out map PSNR (dB): {summary}", flush=True)
+
+    with open(os.path.join(args.out, "train_log.json"), "w") as f:
+        json.dump({"steps": it + 1, "params_M": n_params / 1e6,
+                   "train_min": round(train_min, 1),
+                   "tuples": args.tuples, "spp": args.spp,
+                   "history": hist, "heldout_psnr_db": summary,
+                   "checkpoint_mb": round(sz, 1)}, f, indent=1)
+    print(json.dumps({"steps": it + 1, "heldout_psnr_db": summary}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
