@@ -86,6 +86,7 @@ def main():
                          jnp.asarray(down(mat["normal"], res)))
         env = jnp.asarray(mat["envmap"])
         rows = {}
+        bright = {}
         for thk in THK:
             cfg = cfg0._replace(march_interval_frac=thk)
             t0 = time.time()
@@ -93,10 +94,17 @@ def main():
                                     mats, env))
             db = psnr_vs(img, ref)
             rows[str(thk)] = round(db, 2)
+            # raw (unscaled) brightness ratio ours/Mitsuba at IDENTICAL
+            # inputs — the envmap-recovery gauge: if our estimator is s×
+            # brighter, the inverse loop recovers an envmap ~1/s dimmer
+            # than the reference's (r5 envmap-PSNR root-cause evidence)
+            bright[str(thk)] = round(float(img.mean() / ref.mean()), 4)
             print(f"[parity {scene}] interval_frac={thk:<5} "
                   f"PSNR vs rendered_img.exr = {db:6.2f} dB "
+                  f"raw-mean ours/ref = {bright[str(thk)]:.3f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         result["scenes"][scene] = rows
+        result["scenes"][scene + "_brightness_ratio"] = bright
 
     # thick-occluder synthetic: floor plane + floor-standing column whose
     # heightfield IS the true (thick) geometry. Truth = the thickness-off

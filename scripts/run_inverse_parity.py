@@ -100,6 +100,17 @@ def main():
         psnr = 10 * np.log10(rng * rng / max(mse, 1e-12))
         print(f"    {k:10s} {psnr:6.2f} dB  (ours mean {ours.mean():.3f} "
               f"ref mean {ref.mean():.3f})", flush=True)
+        if k == "envmap":
+            # gauge-split diagnostic: envmap absolute scale trades off
+            # against estimator brightness (dimmer env × brighter render
+            # = same image); the scale-aligned number isolates the
+            # RECOVERED STRUCTURE from that gauge (see
+            # runs/forward_parity_r5.json brightness_ratio evidence)
+            s = float(ref.mean() / max(ours.mean(), 1e-9))
+            mse_s = float(np.mean((ours * s - ref) ** 2))
+            psnr_s = 10 * np.log10(rng * rng / max(mse_s, 1e-12))
+            print(f"    {k:10s} {psnr_s:6.2f} dB scale-aligned "
+                  f"(x{s:.3f})", flush=True)
     return 0
 
 
