@@ -1,0 +1,67 @@
+#!/bin/bash
+# Round-5 TPU work queue: strictly sequential (one TPU process at a time),
+# survives builder-session death (launch under nohup). Each stage logs to
+# runs/r5_queue/<stage>.log; queue.log is the ledger.
+cd /root/repo || exit 1
+export PYTHONPATH=/root/.axon_site:/root/repo
+Q=runs/r5_queue
+mkdir -p "$Q"
+
+log() { echo "[queue] $*" | tee -a "$Q/queue.log"; }
+
+stage() {
+  name=$1; shift
+  if [ -f "$Q/$name.done" ]; then log "$name: already done, skip"; return; fi
+  log "$name START $(date -u '+%H:%M:%S')"
+  "$@" > "$Q/$name.log" 2>&1
+  rc=$?
+  log "$name END rc=$rc $(date -u '+%H:%M:%S')"
+  [ $rc -eq 0 ] && touch "$Q/$name.done"
+}
+
+# wait for the in-flight indoor parity run (if any) to release the TPU
+if [ -f /tmp/parity.pid ] && kill -0 "$(cat /tmp/parity.pid)" 2>/dev/null; then
+  log "waiting for indoor parity run (pid $(cat /tmp/parity.pid))"
+  while kill -0 "$(cat /tmp/parity.pid)" 2>/dev/null; do sleep 20; done
+  log "indoor parity run finished"
+fi
+
+# 1. BENCH verification (VERDICT r4 task 1): slimmed replay records at 1024²
+stage bench timeout 3600 python bench.py
+
+# 2. jinjya full-budget parity (VERDICT task 2; model_name=none + mesh_mask)
+stage jinjya timeout 4200 python scripts/run_inverse_parity.py jinjya \
+  --epochs 2000 --spp 64 --chunk 8 --trace-every 8 --time-budget 3300 \
+  --out runs/parity_jinjya_r5
+
+# 3. forward-parity artifact: both fixtures + interval_frac ladder +
+#    thick synthetic + brightness ratios (VERDICT task 5)
+stage fwdparity timeout 3000 python scripts/run_forward_parity.py
+
+# 4. MaterialNet reduced checkpoint trained on self-rendered data
+#    (VERDICT task 4, part 1)
+stage matnet timeout 2700 python scripts/train_matnet_device.py \
+  runs/matnet_r5 --tuples 192 --steps 2500 --batch 4 --time-budget 1200
+
+# 5. photograph -> materials end-to-end from the raw photo with ZERO
+#    fixture inputs (VERDICT task 4, part 2)
+stage photo_e2e timeout 2400 python -m materialist_tpu.cli.inverse \
+  --img_inverse_path /root/reference/examples/indoor2.png \
+  --save_name photo_e2e --opt_src a --opt_order rm a --opt_env_from 2 \
+  --model_name pos_mlp --save_path runs \
+  --weights runs/matnet_r5/matnet_scratch.npz \
+  --num_epochs 120 --frame_every 0
+
+# 6. TPU-marked suite on the real chip (VERDICT task 6)
+stage tpu_tests timeout 2400 env MATERIALIST_TPU_TESTS=1 \
+  python -m pytest tests/ -m tpu -q
+
+# 7. envmap observability diagnostic (root-cause evidence for task 2)
+stage envcov timeout 1800 python scripts/diag_env_coverage.py \
+  --recovered runs/parity_indoor_r5/best_results/envmap.hdr
+
+# 8. multichip dryrun (CPU-only; TPU idle now, single core free)
+stage dryrun timeout 1800 python -c \
+  "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+log "QUEUE COMPLETE $(date -u '+%H:%M:%S')"
