@@ -89,6 +89,12 @@ class InverseOptions:
     # deadline degrades gracefully to "best state found so far" (same
     # contract as early stopping); 0 disables. The reference has no
     # equivalent — its only bound is the epoch caps.
+    snapshot_every: int = 500  # flush SaveBest's argmin state to
+    # best_results/ every N epochs IN ADDITION to the phase-boundary
+    # saves. The device tunnel in this environment can wedge mid-run
+    # (r5: two 512² runs hung on a scalar fetch ~40 min in, losing the
+    # whole phase's recovery because nothing had been persisted);
+    # a periodic flush caps the loss to N epochs. 0 disables.
     compact: bool = True  # wavefront path compaction: probe the scene's
     # per-bounce alive fractions once at startup and drop dead rays
     # between bounces (RenderConfig.compact_caps). Measured fractions on
@@ -208,6 +214,12 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
 
     saver = SaveBest()
     early_all = EarlyStopping(patience=2, min_delta=0.025)
+
+    def maybe_snapshot(epoch: int) -> None:
+        """Periodic best_results flush (InverseOptions.snapshot_every)."""
+        if opts.snapshot_every and epoch > 0 \
+                and epoch % opts.snapshot_every == 0:
+            saver.save_results(os.path.join(output_dir, "best_results"))
 
     mask = mat.get("mask")
 
@@ -419,6 +431,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             saver.update(mse_val, mat["albedo"], mat["roughness"],
                          mat["metallic"], mat["normal"], env, img)
             early(mse_val)
+            maybe_snapshot(epoch)
             if epoch % 50 == 0 or early.early_stop:
                 print(f"[env {loop_num}] epoch {epoch} loss {float(loss):.4f}"
                       f" mse {mse_val:.4f}" + cap_note(records), flush=True)
@@ -520,6 +533,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                                  mats_cur.roughness, mats_cur.metallic,
                                  mats_cur.normal, env4render, pred)
                     early(mse_val)
+                    maybe_snapshot(epoch)
                     if epoch % 50 == 0 or early.early_stop:
                         print(f"[mat-direct {loop_num}/{part}] epoch {epoch} "
                               f"loss {float(loss):.4f} mse {mse_val:.4f}"
@@ -561,6 +575,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                                  mats_cur.normal, env4render, pred,
                                  net_params=params_pre)
                     early(mse_val)
+                    maybe_snapshot(epoch)
                     if epoch % 50 == 0 or early.early_stop:
                         print(f"[mat-mlp {loop_num}/{part}] epoch {epoch} "
                               f"loss {float(loss):.4f} mse {mse_val:.4f}"
