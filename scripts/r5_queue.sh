@@ -1,7 +1,8 @@
 #!/bin/bash
 # Round-5 TPU work queue: strictly sequential (one TPU process at a time),
 # survives builder-session death (launch under nohup). Each stage logs to
-# runs/r5_queue/<stage>.log; queue.log is the ledger.
+# runs/r5_queue/<stage>.log; queue.log is the ledger. Stages marked .done
+# are skipped on relaunch.
 cd /root/repo || exit 1
 export PYTHONPATH=/root/.axon_site:/root/repo
 Q=runs/r5_queue
@@ -19,20 +20,21 @@ stage() {
   [ $rc -eq 0 ] && touch "$Q/$name.done"
 }
 
-# wait for the in-flight indoor parity run (if any) to release the TPU
-if [ -f /tmp/parity.pid ] && kill -0 "$(cat /tmp/parity.pid)" 2>/dev/null; then
-  log "waiting for indoor parity run (pid $(cat /tmp/parity.pid))"
-  while kill -0 "$(cat /tmp/parity.pid)" 2>/dev/null; do sleep 20; done
-  log "indoor parity run finished"
+# wait for an in-flight TPU run (pid via WAIT_PID) to release the device
+if [ -n "$WAIT_PID" ]; then
+  log "waiting for pid $WAIT_PID"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
 fi
+log "TPU free, queue starting $(date -u '+%H:%M:%S')"
 
-# 1. BENCH verification (VERDICT r4 task 1): slimmed replay records at 1024²
+# 1. BENCH verification (VERDICT r4 task 1) — DONE 08:13 rc=0:
+#    fresh 10,860.7 ms / amortized 7,283.3 / relight 0.107 fps
 stage bench timeout 3600 python bench.py
 
-# 2. jinjya full-budget parity (VERDICT task 2; model_name=none + mesh_mask)
-stage jinjya timeout 4200 python scripts/run_inverse_parity.py jinjya \
-  --epochs 2000 --spp 64 --chunk 8 --trace-every 8 --time-budget 3300 \
-  --out runs/parity_jinjya_r5
+# 2. indoor full-budget parity restart (snapshot_every hardened)
+stage indoor timeout 3300 python scripts/run_inverse_parity.py indoor \
+  --epochs 2000 --spp 64 --chunk 8 --trace-every 8 --time-budget 2700 \
+  --out runs/parity_indoor_r5
 
 # 3. forward-parity artifact: both fixtures + interval_frac ladder +
 #    thick synthetic + brightness ratios (VERDICT task 5)
@@ -59,9 +61,5 @@ stage tpu_tests timeout 2400 env MATERIALIST_TPU_TESTS=1 \
 # 7. envmap observability diagnostic (root-cause evidence for task 2)
 stage envcov timeout 1800 python scripts/diag_env_coverage.py \
   --recovered runs/parity_indoor_r5/best_results/envmap.hdr
-
-# 8. multichip dryrun (CPU-only; TPU idle now, single core free)
-stage dryrun timeout 1800 python -c \
-  "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 log "QUEUE COMPLETE $(date -u '+%H:%M:%S')"
