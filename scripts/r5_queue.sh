@@ -54,9 +54,9 @@ stage photo_e2e timeout 2400 python -m materialist_tpu.cli.inverse \
   --weights runs/matnet_r5/matnet_scratch.npz \
   --num_epochs 120 --frame_every 0
 
-# 6. TPU-marked suite on the real chip (VERDICT task 6)
-stage tpu_tests timeout 2400 env MATERIALIST_TPU_TESTS=1 \
-  python -m pytest tests/ -m tpu -q
+# 6. TPU-marked suite on the real chip (VERDICT task 6) — writes
+#    TPU_TESTS_r5.json (r3 artifact format)
+stage tpu_tests timeout 2400 python scripts/run_tpu_tests.py
 
 # 7. envmap observability diagnostic (root-cause evidence for task 2)
 stage envcov timeout 1800 python scripts/diag_env_coverage.py \
