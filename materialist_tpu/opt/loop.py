@@ -89,6 +89,16 @@ class InverseOptions:
     # deadline degrades gracefully to "best state found so far" (same
     # contract as early stopping); 0 disables. The reference has no
     # equivalent — its only bound is the epoch caps.
+    budget_split: bool = True  # with time_budget_s > 0: divide the budget
+    # across the PLANNED phase schedule instead of first-come-first-
+    # served. The reference protocol (≤5000-epoch phases, early-stopped,
+    # inverse_img_w_mi.py:211,222-235) assumes unbounded wall clock; under
+    # a finite budget running it verbatim spends everything in the first
+    # material phase and the envmap/albedo phases never execute (r5
+    # jinjya: 1736 epochs of [rm], 1 env epoch, envmap 12.8 dB). Each
+    # phase gets a weighted slice of the REMAINING budget (mat 1.0, env
+    # 0.5, reference-quirk 1-epoch env 0.02); a phase that early-stops
+    # rolls its leftover into the rest. Off → pure global deadline.
     snapshot_every: int = 500  # flush SaveBest's argmin state to
     # best_results/ every N epochs IN ADDITION to the phase-boundary
     # saves. The device tunnel in this environment can wedge mid-run
@@ -126,6 +136,35 @@ def _apply_mask_constraint(r, m, mask):
 def _mats_from_dict(mat) -> Materials:
     return Materials(mat["albedo"], mat["roughness"], mat["metallic"],
                      mat["normal"])
+
+
+def plan_phase_weights(opts: "InverseOptions") -> list:
+    """Budget-aware phase schedule (InverseOptions.budget_split): the
+    weighted list of phases `optimize` below will actually execute, in
+    execution order. Kept in sync with the loop's control flow: loop N
+    runs env then materials, the final loop env only; 'a' is skipped in
+    loop 1; env in loop 1 is the 1-epoch reference quirk
+    (inverse_img_w_mi.py:292-295) unless opt_env_from/opt_src enable it.
+    Weights: material 1.0, env 0.5, quirk-env 0.02."""
+    def env_weight(ln):
+        if ln < opts.opt_env_from or ("rm" not in opts.opt_src
+                                      and ln == 1
+                                      and opts.opt_src != "skip"):
+            return 0.02
+        return 0.5
+
+    if opts.opt_src == "skip":
+        return [1.0]
+    plan = []
+    for ln in range(1, opts.max_loops + 1):
+        plan.append(env_weight(ln))
+        if ln >= opts.max_loops:
+            break  # final loop is env-only
+        for part in opts.opt_order:
+            if part == "a" and ln <= 1:
+                continue
+            plan.append(1.0)
+    return plan
 
 
 def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
@@ -404,10 +443,35 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
     def out_of_time():
         return deadline is not None and time.time() > deadline
 
+    phase_plan = (plan_phase_weights(opts)
+                  if deadline is not None and opts.budget_split else [])
+    phase_deadline = deadline
+
+    def begin_phase(label):
+        nonlocal phase_deadline
+        if deadline is None or not phase_plan:
+            phase_deadline = deadline
+            return
+        w = phase_plan.pop(0)
+        rem = deadline - time.time()
+        if rem <= 0:
+            phase_deadline = deadline
+            return
+        slice_s = rem * w / (w + sum(phase_plan))
+        phase_deadline = time.time() + slice_s
+        if w >= 0.1:
+            print(f"[budget] {label}: {slice_s:.0f}s of {rem:.0f}s "
+                  "remaining", flush=True)
+
+    def phase_over():
+        return (phase_deadline is not None
+                and time.time() > phase_deadline) or out_of_time()
+
     while True:
         loop_num += 1
         # ---- envmap phase
         env_tx, env_step = get_env_step(loop_num)
+        begin_phase(f"env {loop_num}")
         opt_state = env_tx.init(env_params)
         patience = 500 if opts.opt_src == "skip" else 100
         early = EarlyStopping(patience=patience, min_delta=0.01)
@@ -443,8 +507,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             if early.early_stop:
                 print("Early stopping", flush=True)
                 break
-            if out_of_time():
-                print("[env] time budget exhausted", flush=True)
+            if phase_over():
+                print("[env] phase budget exhausted", flush=True)
                 break
             if loop_num < opts.opt_env_from:
                 break
@@ -498,6 +562,7 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
             patience = max(200 // loop_num, 1)
             delta = 0.005 if "a" in part else 0.001
             early = EarlyStopping(patience=patience, min_delta=delta)
+            begin_phase(f"mat {part} {loop_num}")
 
             if opts.model_name == "none":
                 params = {}
@@ -545,8 +610,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     if early.early_stop:
                         print("Early stopping", flush=True)
                         break
-                    if out_of_time():
-                        print("[mat] time budget exhausted", flush=True)
+                    if phase_over():
+                        print("[mat] phase budget exhausted", flush=True)
                         break
             else:
                 phase, step, tx = get_mat_phase("mlp", part)
@@ -587,8 +652,8 @@ def optimize(gbuf: GBuffer, cam: Camera, mat: dict, output_dir: str,
                     if early.early_stop:
                         print("Early stopping", flush=True)
                         break
-                    if out_of_time():
-                        print("[mat] time budget exhausted", flush=True)
+                    if phase_over():
+                        print("[mat] phase budget exhausted", flush=True)
                         break
 
             # restore best (inverse_img_w_mi.py:460-463,583-588): both the
