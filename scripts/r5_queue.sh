@@ -13,6 +13,10 @@ log() { echo "[queue] $*" | tee -a "$Q/queue.log"; }
 stage() {
   name=$1; shift
   if [ -f "$Q/$name.done" ]; then log "$name: already done, skip"; return; fi
+  # cool-down between TPU clients: connecting while the previous lease
+  # is still releasing can wedge the new client on the tunnel forever
+  # (r5: two wedges, CPU frozen at ~20 s, futex wait on the reply)
+  sleep 150
   log "$name START $(date -u '+%H:%M:%S')"
   "$@" > "$Q/$name.log" 2>&1
   rc=$?
