@@ -72,6 +72,12 @@ def main():
         mat = load_best_results(f"{base}/best_results",
                                 roughness_remap=False)
         ref = down(exr.read(f"{base}/best_results/rendered_img.exr"), res)
+        # jinjya's rendered_img.exr is in sRGB+exposure space (material
+        # phase SaveBest stores pred_image_srgb, inverse_img_w_mi.py:547)
+        # — exposure-align our linear render to the linear gt, then
+        # gamma-encode before PSNR (same protocol as tests/test_golden.py)
+        gt_lin = down(exr.read(f"{base}/gt_image.exr"), res) \
+            if scene == "jinjya" else None
         depth = down(exr.read(f"{base}/depthPred.exr"), res)[..., 0]
         mask = None
         if os.path.exists(f"{base}/mesh_mask.png"):
@@ -92,13 +98,21 @@ def main():
             t0 = time.time()
             img = np.asarray(render(jax.random.PRNGKey(0), cfg, cam, gbuf,
                                     mats, env))
-            db = psnr_vs(img, ref)
+            if gt_lin is not None:
+                ratio = gt_lin.mean() / max(img.mean(), 1e-9)
+                ours_srgb = np.clip(img * ratio, 0, None) ** (1 / 2.2)
+                a, r = np.clip(ours_srgb, 0, 2), np.clip(ref, 0, 2)
+                db = float(-10 * np.log10(((a - r) ** 2).mean() + 1e-12))
+                bright_val = float(img.mean() / gt_lin.mean())
+            else:
+                db = psnr_vs(img, ref)
+                bright_val = float(img.mean() / ref.mean())
             rows[str(thk)] = round(db, 2)
             # raw (unscaled) brightness ratio ours/Mitsuba at IDENTICAL
             # inputs — the envmap-recovery gauge: if our estimator is s×
             # brighter, the inverse loop recovers an envmap ~1/s dimmer
             # than the reference's (r5 envmap-PSNR root-cause evidence)
-            bright[str(thk)] = round(float(img.mean() / ref.mean()), 4)
+            bright[str(thk)] = round(bright_val, 4)
             print(f"[parity {scene}] interval_frac={thk:<5} "
                   f"PSNR vs rendered_img.exr = {db:6.2f} dB "
                   f"raw-mean ours/ref = {bright[str(thk)]:.3f} "
