@@ -39,7 +39,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 import numpy as np
 
-IM_HW = (238, 322)   # nearest multiple-of-14 of the reference's 240x320
+IM_HW = (224, 336)   # multiple of 14 (ViT patch) AND 16 (march mip factor)
 
 REDUCED = dict(features=64, out_channels=(48, 96, 192, 384),
                layer_idx=(1, 2, 4, 5), embed_dim=384, enc_depth=6,
