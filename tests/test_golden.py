@@ -109,4 +109,4 @@ def test_jinjya_golden_psnr(reference_dir):
     ratio = gt.mean() / img.mean()
     ours_srgb = np.clip(img * ratio, 0, None) ** (1 / 2.2)
     p = psnr(np.clip(ours_srgb, 0, 2), np.clip(ref, 0, 2))
-    assert p > 20.4, f"jinjya golden PSNR regressed: {p:.2f} dB"  # round-3 measured 20.77 (LDS)
+    assert p > 20.5, f"jinjya golden PSNR regressed: {p:.2f} dB"  # round-5 measured 20.64 on CPU (r3: 20.77); 512² parity 19.87 (runs/forward_parity_r5.json)
