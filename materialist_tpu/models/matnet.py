@@ -65,8 +65,12 @@ class MatNetInference:
         self.params = jax.tree.map(jnp.asarray, params)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _forward(self, x):
-        return self.net.apply({"params": self.params}, x)
+    def _forward(self, params, x):
+        # params ride as an argument, NOT via self: with static self they
+        # would be baked into the HLO as constants and travel inside the
+        # axon remote-compile request (HTTP 413 at large sizes — same
+        # failure class as scripts/train_matnet_device.py's dataset)
+        return self.net.apply({"params": params}, x)
 
     def infer_image(self, raw_image: np.ndarray,
                     input_size: int = 518) -> dict:
@@ -79,7 +83,7 @@ class MatNetInference:
         if img.mean() >= 10:
             warnings.warn("Pixel intensity too high; dividing by 255.")
             img = img / 255.0
-        out = self._forward(preprocess(img))
+        out = self._forward(self.params, preprocess(img))
         maps = {}
         for k, v in out.items():
             v = bilinear_align_corners(v[0], (h, w))

@@ -122,8 +122,13 @@ def main():
                             optax.adamw(sched, weight_decay=0.01))
     opt_state = optimizer.init(params)
 
+    # `data` MUST be an explicit argument: a closed-over device dict this
+    # large is serialized into the HLO as constants, and the axon remote-
+    # compile request then exceeds the tunnel's body limit (HTTP 413 at
+    # 694 MB, r5). As a parameter it stays on device and never rides the
+    # compile request.
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, key, data):
         k_idx, k_flip = jax.random.split(key)
         idx = jax.random.randint(k_idx, (args.batch,), 0, n)
         batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
@@ -155,7 +160,7 @@ def main():
     key = jax.random.PRNGKey(args.seed + 1)
     for it in range(args.steps):
         key, k = jax.random.split(key)
-        params, opt_state, losses = step(params, opt_state, k)
+        params, opt_state, losses = step(params, opt_state, k, data)
         if it % 50 == 0 or it == args.steps - 1:
             vals = {kk: float(v) for kk, v in losses.items()}
             hist.append({"it": it, **vals})
