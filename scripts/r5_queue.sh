@@ -27,7 +27,7 @@ stage() {
   # cool-down between TPU clients: connecting while the previous lease
   # is still releasing can wedge the new client on the tunnel forever
   # (r5: two wedges, CPU frozen at ~20 s, futex wait on the reply)
-  sleep 150
+  sleep 90
   log "$name START $(date -u '+%H:%M:%S') (timeout ${tmo}s)"
   timeout "$tmo" "$@" > "$Q/$name.log" 2>&1
   rc=$?
