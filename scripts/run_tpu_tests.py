@@ -14,6 +14,11 @@ import time
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# `python scripts/run_tpu_tests.py` puts scripts/ (not the repo root) on
+# sys.path, and in-process pytest.main inherits it — the test modules
+# then can't import materialist_tpu
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 
 class Collector:
